@@ -1,0 +1,107 @@
+"""MoE dense dispatch must equal a naive per-expert gather loop."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video2music_tpu.core.config import MoEConfig
+from video2music_tpu.ops.moe import MoELayer
+
+
+def _apply_glu_expert(params, e, x):
+    """Evaluate stacked GLU expert e on (T, D) tokens."""
+    w1, b1 = params["w1"][e], params["b1"][e]
+    wg, bg = params["wg"][e], params["bg"][e]
+    w2, b2 = params["w2"][e], params["b2"][e]
+    h = x @ w1 + b1
+    g = x @ wg + bg
+    return (h * jax.nn.silu(g)) @ w2 + b2
+
+
+def _naive_moe(variables, x, cfg):
+    """Reference-style loop: topk gate, softmax over selected, gathered
+    experts (model/moe.py:183-200)."""
+    p = variables["params"]
+    gate_logits = x @ p["gate"]["kernel"] + p["gate"]["bias"]
+    B, L, E = gate_logits.shape
+    k = cfg.n_experts_per_token
+    out = np.zeros_like(np.asarray(x))
+    ep = p["experts"]
+    for b in range(B):
+        for l in range(L):
+            logits = np.asarray(gate_logits[b, l])
+            sel = np.argsort(-logits)[:k]
+            w = np.exp(logits[sel] - logits[sel].max())
+            w = w / w.sum()
+            for wi, e in zip(w, sel):
+                out[b, l] += wi * np.asarray(
+                    _apply_glu_expert(ep, int(e), x[b, l][None])[0])
+    if cfg.shared_expert:
+        sh = p["shared_expert"]
+        shared = np.asarray(_apply_glu_expert(
+            {k2: v for k2, v in sh.items()}, 0, x.reshape(-1, x.shape[-1])))
+        out += shared.reshape(out.shape) / k
+    return out
+
+
+def test_dense_dispatch_matches_loop(rng):
+    cfg = MoEConfig(n_experts=4, n_experts_per_token=2, expert="glu",
+                    shared_expert=False)
+    layer = MoELayer(cfg=cfg, d_model=8, d_ff=16, dropout_rate=0.0)
+    x = jnp.asarray(rng.standard_normal((2, 5, 8)).astype(np.float32))
+    variables = layer.init(jax.random.PRNGKey(0), x)
+    got, _ = layer.apply(variables, x, mutable=["metrics"])
+    want = _naive_moe(variables, x, cfg)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_shared_expert_matches_loop(rng):
+    cfg = MoEConfig(n_experts=4, n_experts_per_token=2, expert="glu",
+                    shared_expert=True)
+    layer = MoELayer(cfg=cfg, d_model=8, d_ff=16, dropout_rate=0.0)
+    x = jnp.asarray(rng.standard_normal((2, 5, 8)).astype(np.float32))
+    variables = layer.init(jax.random.PRNGKey(0), x)
+    got, _ = layer.apply(variables, x, mutable=["metrics"])
+    want = _naive_moe(variables, x, cfg)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_balancing_bias_updates(rng):
+    cfg = MoEConfig(n_experts=4, n_experts_per_token=2, expert="glu",
+                    shared_expert=True, balancing=True)
+    layer = MoELayer(cfg=cfg, d_model=8, d_ff=16, dropout_rate=0.0)
+    x = jnp.asarray(rng.standard_normal((2, 5, 8)).astype(np.float32))
+    variables = layer.init(jax.random.PRNGKey(0), x)
+    # training call mutates the balance bias toward under-loaded experts
+    _, mutated = layer.apply(
+        variables, x, deterministic=False, mutable=["moe_state", "metrics"],
+        rngs={"dropout": jax.random.PRNGKey(1)})
+    bias = np.asarray(mutated["moe_state"]["balance_bias"])
+    counts = np.asarray(mutated["metrics"]["expert_counts"])
+    assert bias.shape == (4,)
+    assert counts.sum() == 2 * 5 * cfg.n_experts_per_token
+    err = counts.mean() - counts
+    np.testing.assert_allclose(bias, 0.001 * err, rtol=1e-5, atol=1e-7)
+    # eval call must NOT move the bias
+    _, mutated2 = layer.apply(
+        variables, x, deterministic=True, mutable=["moe_state", "metrics"])
+    np.testing.assert_allclose(
+        np.asarray(mutated2["moe_state"]["balance_bias"]), 0.0)
+
+
+def test_topk_scheduler_anneals(rng):
+    cfg = MoEConfig(n_experts=4, n_experts_per_token=2, expert="glu",
+                    shared_expert=True, topk_schedule=True, topk_update_step=2)
+    layer = MoELayer(cfg=cfg, d_model=8, d_ff=16, dropout_rate=0.0)
+    x = jnp.asarray(rng.standard_normal((1, 3, 8)).astype(np.float32))
+    variables = layer.init(jax.random.PRNGKey(0), x)
+    state = variables
+    for step in range(6):
+        out, mutated = layer.apply(
+            state, x, deterministic=False, mutable=["moe_state", "metrics"],
+            rngs={"dropout": jax.random.PRNGKey(step)})
+        state = {**variables, "moe_state": mutated["moe_state"]}
+    # after 6 steps with update_step=2, k = max(2, 4 - 3) = 2
+    assert int(state["moe_state"]["sched_step"]) == 6
+    counts = np.asarray(mutated["metrics"]["expert_counts"])
+    assert counts.sum() == 3 * 2  # 3 tokens * k=2 at the last step
