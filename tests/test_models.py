@@ -1,0 +1,104 @@
+"""Shape/finiteness smoke tests over the whole model zoo (tiny configs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video2music_tpu.core import constants as C
+from video2music_tpu.core.config import (
+    MusicTransformerConfig,
+    RegressionConfig,
+    amt_config,
+)
+from video2music_tpu.models import (
+    BACKBONES,
+    MusicTransformer,
+    VideoMusicTransformer,
+    VideoRegression,
+)
+
+def _amt_batch(rng, B=2, Lc=11, Lv=12):
+    # total_vf_dim = 7 semantic + 1 scene + 1 motion + 2 emotion = 11
+    return dict(
+        x=jnp.asarray(rng.integers(0, C.CHORD_SIZE, (B, Lc))),
+        x_root=jnp.asarray(rng.integers(0, C.CHORD_ROOT_SIZE, (B, Lc))),
+        x_attr=jnp.asarray(rng.integers(0, C.CHORD_ATTR_SIZE, (B, Lc))),
+        semantic=jnp.asarray(rng.standard_normal((B, Lv, 7)).astype(np.float32)),
+        key=jnp.asarray(rng.integers(0, 2, (B, 1)).astype(np.float32)),
+        scene_offset=jnp.asarray(
+            rng.integers(0, 12, (B, Lv)).astype(np.float32)),
+        motion=jnp.asarray(rng.standard_normal((B, Lv)).astype(np.float32)),
+        emotion=jnp.asarray(
+            rng.uniform(size=(B, Lv, 2)).astype(np.float32)),
+    )
+
+
+@pytest.mark.parametrize("version", [None, "1.1", "1.2.3", "1.3.3", "2.0",
+                                     "2.2", "2.3", "3.0", "3.1", "3.2"])
+def test_amt_versions_forward(rng, version):
+    cfg = amt_config(version, n_layers=2, num_heads=2, d_model=16, d_ff=32,
+                     max_seq_video=12, max_seq_chord=12, total_vf_dim=11,
+                     dropout=0.0)
+    model = VideoMusicTransformer(cfg)
+    batch = _amt_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), **batch)
+    y, _ = model.apply(variables, **batch,
+                       mutable=["moe_state", "metrics", "cache"])
+    assert y.shape == (2, 11, C.CHORD_SIZE)
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_amt_train_mode_runs(rng):
+    # 2.1 = RoPE + SharedMoE + TopKScheduler -> exercises moe_state
+    cfg = amt_config("2.1", n_layers=2, num_heads=2, d_model=16, d_ff=32,
+                     max_seq_video=12, max_seq_chord=12, total_vf_dim=11,
+                     dropout=0.1, drop_token_rate=0.1)
+    model = VideoMusicTransformer(cfg)
+    batch = _amt_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), **batch)
+    y, mutated = model.apply(
+        variables, **batch, deterministic=False,
+        mutable=["moe_state", "metrics"],
+        rngs={"dropout": jax.random.PRNGKey(1)})
+    assert np.all(np.isfinite(np.asarray(y)))
+    assert "moe_state" in mutated and "metrics" in mutated
+
+
+def test_music_transformer(rng):
+    cfg = MusicTransformerConfig(n_layers=2, num_heads=2, d_model=16,
+                                 d_ff=32, max_seq_chord=12)
+    model = MusicTransformer(cfg)
+    B, L = 2, 11
+    args = (
+        jnp.asarray(rng.integers(0, C.CHORD_SIZE, (B, L))),
+        jnp.asarray(rng.integers(0, C.CHORD_ROOT_SIZE, (B, L))),
+        jnp.asarray(rng.integers(0, C.CHORD_ATTR_SIZE, (B, L))),
+        jnp.asarray(rng.integers(0, 2, (B, 1)).astype(np.float32)),
+    )
+    variables = model.init(jax.random.PRNGKey(0), *args)
+    y = model.apply(variables, *args)
+    assert y.shape == (B, L, C.CHORD_SIZE)
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+@pytest.mark.parametrize("backbone", BACKBONES)
+def test_regression_backbones(rng, backbone):
+    cfg = RegressionConfig(reg_model=backbone, n_layers=2, d_model=8,
+                           d_hidden=16, dropout=0.0, total_vf_dim=9,
+                           max_seq_video=10)
+    model = VideoRegression(cfg)
+    B, L = 2, 10
+    args = (
+        jnp.asarray(rng.standard_normal((B, L, 7)).astype(np.float32)),
+        jnp.asarray(rng.integers(0, 10, (B, L)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((B, L)).astype(np.float32)),
+        jnp.asarray(rng.uniform(size=(B, L, 2)).astype(np.float32)),
+    )
+    variables = model.init(jax.random.PRNGKey(0), *args)
+    (reg, inst), _ = model.apply(variables, *args,
+                                 mutable=["metrics", "moe_state"])
+    assert reg.shape == (B, L, 2)
+    assert inst.shape == (B, L, C.INSTRUMENT_SIZE)
+    assert np.all(np.isfinite(np.asarray(reg)))
+    assert np.all((np.asarray(inst) >= 0) & (np.asarray(inst) <= 1))

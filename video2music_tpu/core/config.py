@@ -102,9 +102,11 @@ def _uniform(spec: LayerSpec, n: int) -> Tuple[LayerSpec, ...]:
     return tuple(spec for _ in range(n))
 
 
-def _shallow_deep(shallow: LayerSpec, deep: LayerSpec, n: int, rate: int = 3):
-    """rate shallow layers then n-rate deep layers (reference:
-    model/video_music_transformer.py:411-419)."""
+def _shallow_deep(shallow: LayerSpec, deep: LayerSpec, n: int):
+    """rate shallow layers then n-rate deep layers. The reference hardcodes
+    rate=3 for its 6-layer models (model/video_music_transformer.py:411-419);
+    we clamp so shrunken test configs still get at least one deep layer."""
+    rate = min(3, max(0, n - 1))
     return tuple(shallow for _ in range(rate)) + tuple(deep for _ in range(n - rate))
 
 

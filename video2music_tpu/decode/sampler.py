@@ -1,0 +1,154 @@
+"""KV-cached, constraint-aware autoregressive chord sampler.
+
+The reference generates by re-running the FULL prefix forward for every
+token with no KV cache, then doing per-token host work: softmax slicing,
+python constraint checks, a JSON dict lookup to map the sampled chord id to
+root/attr ids, and ``.item()`` syncs (reference:
+model/video_music_transformer.py:1046-1131). That is ~300 O(L^2) forwards
+and ~300 host round-trips per clip.
+
+Here the whole decode is ONE jitted function: encoder runs once, decoder
+cross-attention K/V are primed once, and a ``lax.scan`` over positions runs
+single-query decode steps against growing KV caches. All constraint logic
+and the chord->(root, attr) mapping live in-graph as int32 tables
+(core/vocab.py).
+
+Reproduced sampling semantics (replicating behavior, not intent — see
+SURVEY.md §7 "hard parts" #3):
+  * probs = softmax(logits / temperature) truncated to [:CHORD_END] and
+    sampled UNNORMALIZED (equivalent to renormalizing over ids 0..156);
+    CHORD_END itself can therefore never be emitted on this path, matching
+    the reference where the END-break is unreachable (:1070-1073,1126).
+  * if max_conseq_N == 0 the "N" chord (id 0) is banned (:1089-1090);
+  * if the last ``max_conseq_chord`` emitted tokens are identical, that
+    chord is banned for the next step (:1091-1102);
+  * primer tokens are consumed as-is (:1059-1066).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import constants as C
+from ..core.vocab import chord_to_root_attr_tables
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerateConfig:
+    target_seq_length: int = 300
+    temperature: float = 1.0
+    max_conseq_N: int = 0
+    max_conseq_chord: int = 2
+
+
+def _sample_next(rng, logits, gen_seq, pos, gcfg: GenerateConfig):
+    """Sample the token for position pos+1 given logits at pos."""
+    probs = jax.nn.softmax(
+        logits.astype(jnp.float32) / gcfg.temperature, axis=-1)
+    probs = probs[..., :C.CHORD_END]  # (B, 157)
+    if gcfg.max_conseq_N == 0:
+        probs = probs.at[..., 0].set(0.0)
+    # repetition ban: if the last max_conseq_chord tokens equal, zero them
+    m = gcfg.max_conseq_chord
+    pre = gen_seq[:, pos]
+    same = pos + 1 >= m  # enough history?
+    for k in range(1, m):
+        same = jnp.logical_and(same, gen_seq[:, pos - k] == pre)
+    same = jnp.logical_and(same, pos + 1 >= m)
+    ban = jax.nn.one_hot(pre, C.CHORD_END, dtype=jnp.float32)
+    probs = jnp.where(same[..., None], probs * (1.0 - ban), probs)
+    return jax.random.categorical(rng, jnp.log(probs), axis=-1)
+
+
+def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
+                    emotion, primer, primer_root, primer_attr, num_primer,
+                    rng, gcfg: GenerateConfig = GenerateConfig()):
+    """Generate a (B, target_seq_length) chord-id sequence.
+
+    Args:
+      model: a VideoMusicTransformer (any version).
+      variables: its trained variables ({"params": ...}).
+      semantic/scene_offset/motion/emotion: (B, Lv, ...) video features.
+      key: (B,) or (B, 1) float key conditioning.
+      primer*: (B, P) primer token ids (P <= target length); positions
+        beyond ``num_primer`` are ignored.
+      num_primer: int or scalar array — number of primer tokens (>= 1).
+      rng: jax PRNG key.
+    Returns:
+      dict with gen_seq / gen_seq_root / gen_seq_attr, each
+      (B, target_seq_length) int32.
+    """
+    root_tab, attr_tab = chord_to_root_attr_tables()
+    root_tab = jnp.asarray(root_tab)
+    attr_tab = jnp.asarray(attr_tab)
+    T = gcfg.target_seq_length
+    B = semantic.shape[0]
+    num_primer = jnp.asarray(num_primer, jnp.int32)
+
+    gen_seq = jnp.full((B, T), C.CHORD_PAD, jnp.int32)
+    gen_root = jnp.full((B, T), C.CHORD_ROOT_PAD, jnp.int32)
+    gen_attr = jnp.full((B, T), C.CHORD_ATTR_PAD, jnp.int32)
+    P = primer.shape[1]
+    in_primer = jnp.arange(T) < num_primer
+    gen_seq = gen_seq.at[:, :P].set(
+        jnp.where(in_primer[:P], primer.astype(jnp.int32), C.CHORD_PAD))
+    gen_root = gen_root.at[:, :P].set(
+        jnp.where(in_primer[:P], primer_root.astype(jnp.int32),
+                  C.CHORD_ROOT_PAD))
+    gen_attr = gen_attr.at[:, :P].set(
+        jnp.where(in_primer[:P], primer_attr.astype(jnp.int32),
+                  C.CHORD_ATTR_PAD))
+
+    # 1) encoder runs once (MoE layers write load metrics -> mutable)
+    memory, _ = model.apply(variables, semantic, scene_offset, motion,
+                            emotion, method=model.encode,
+                            mutable=["metrics", "moe_state"])
+    # 2) prime cross-attention K/V caches once
+    _, primed = model.apply(variables, memory, method=model.prime,
+                            mutable=["cache"])
+    cache = primed["cache"]
+
+    def step_fn(carry, pos):
+        cache, gen_seq, gen_root, gen_attr, rng = carry
+        token = jax.lax.dynamic_slice_in_dim(gen_seq, pos, 1, axis=1)
+        token_root = jax.lax.dynamic_slice_in_dim(gen_root, pos, 1, axis=1)
+        token_attr = jax.lax.dynamic_slice_in_dim(gen_attr, pos, 1, axis=1)
+        logits, mutated = model.apply(
+            {**variables, "cache": cache},
+            token, token_root, token_attr, key, pos,
+            method=model.decode_step,
+            mutable=["cache", "metrics", "moe_state"])
+        cache = mutated["cache"]
+        rng, sub = jax.random.split(rng)
+        nxt = _sample_next(sub, logits, gen_seq, pos, gcfg).astype(jnp.int32)
+        # keep primer tokens where pos+1 is still inside the primer
+        keep = pos + 1 < num_primer
+        cur = jax.lax.dynamic_slice_in_dim(gen_seq, pos + 1, 1, axis=1)[:, 0]
+        cur_r = jax.lax.dynamic_slice_in_dim(gen_root, pos + 1, 1, axis=1)[:, 0]
+        cur_a = jax.lax.dynamic_slice_in_dim(gen_attr, pos + 1, 1, axis=1)[:, 0]
+        new = jnp.where(keep, cur, nxt)
+        new_r = jnp.where(keep, cur_r, root_tab[nxt])
+        new_a = jnp.where(keep, cur_a, attr_tab[nxt])
+        gen_seq = jax.lax.dynamic_update_slice(gen_seq, new[:, None],
+                                               (0, pos + 1))
+        gen_root = jax.lax.dynamic_update_slice(gen_root, new_r[:, None],
+                                                (0, pos + 1))
+        gen_attr = jax.lax.dynamic_update_slice(gen_attr, new_a[:, None],
+                                                (0, pos + 1))
+        return (cache, gen_seq, gen_root, gen_attr, rng), None
+
+    # 3) first decode step outside the scan builds the self-attn cache
+    #    structure; the scan then carries a fixed-structure pytree.
+    carry = (cache, gen_seq, gen_root, gen_attr, rng)
+    carry, _ = step_fn(carry, jnp.asarray(0, jnp.int32))
+    carry, _ = jax.lax.scan(step_fn, carry,
+                            jnp.arange(1, T - 1, dtype=jnp.int32))
+    _, gen_seq, gen_root, gen_attr, _ = carry
+    return {"gen_seq": gen_seq, "gen_seq_root": gen_root,
+            "gen_seq_attr": gen_attr}

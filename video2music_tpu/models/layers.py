@@ -1,0 +1,150 @@
+"""Transformer encoder/decoder layers assembled from LayerSpec.
+
+Replaces the reference's wrapper zoo (model/custom_transformer.py:1220-1433:
+TransformerEncoderLayer/DecoderLayer/Encoder/Decoder/EncoderShorter/
+DecoderShorter, plus the torch-forked RPR layers in model/rpr.py:17-109) with
+two modules driven by config.
+
+Residual/norm orders reproduced:
+  * post-norm (reference custom_transformer.py:1230-1248):
+      x = norm1(x + attn(x)); x = norm2(x + ffn(x))
+  * pre-norm (:1241-1248): x = x + attn(norm1(x)); x = x + ffn(norm2(x))
+  * the original torch layers used by the base AMT additionally apply dropout
+    on each sublayer output (residual_dropout=True).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from flax import linen as nn
+import jax.numpy as jnp
+
+from ..core.config import AMTConfig, LayerSpec
+from ..ops.attention import MultiHeadAttention
+from ..ops.moe import MoELayer
+from ..ops.norms import make_norm
+
+
+class ReluFFN(nn.Module):
+    """torch TransformerEncoderLayer feed-forward: Dense-ReLU-drop-Dense."""
+
+    d_model: int
+    d_ff: int
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        h = nn.relu(nn.Dense(self.d_ff)(x))
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return nn.Dense(self.d_model)(h)
+
+
+class SwiGLU(nn.Module):
+    """GLUExpert (reference: model/moe.py:36-49)."""
+
+    d_model: int
+    d_ff: int
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        h = nn.Dense(self.d_ff, name="linear1")(x)
+        g = nn.Dense(self.d_ff, name="gate")(x)
+        h = h * nn.silu(g)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return nn.Dense(self.d_model, name="linear2")(h)
+
+
+def make_ffn(spec: LayerSpec, cfg: AMTConfig, name: str):
+    if spec.ffn == "relu_mlp":
+        return ReluFFN(cfg.d_model, cfg.d_ff, cfg.dropout, name=name)
+    if spec.ffn == "swiglu":
+        return SwiGLU(cfg.d_model, cfg.d_ff, cfg.dropout, name=name)
+    if spec.ffn == "moe":
+        return MoELayer(cfg=cfg.moe, d_model=cfg.d_model, d_ff=cfg.d_ff,
+                        dropout_rate=cfg.dropout, name=name)
+    raise ValueError(f"unknown ffn kind {spec.ffn!r}")
+
+
+class EncoderLayer(nn.Module):
+    spec: LayerSpec
+    cfg: AMTConfig
+    depth: int = 0
+    residual_dropout: bool = False
+
+    def setup(self):
+        self.self_attn = MultiHeadAttention(
+            cfg=self.spec.attn, d_model=self.cfg.d_model,
+            dropout_rate=self.cfg.dropout, depth=self.depth,
+            max_cache_len=self.cfg.max_seq_video, name="self_attn")
+        self.ffn = make_ffn(self.spec, self.cfg, "ffn")
+        self.norm1 = make_norm(self.cfg.norm, self.cfg.d_model)
+        self.norm2 = make_norm(self.cfg.norm, self.cfg.d_model)
+        self.res_drop = nn.Dropout(self.cfg.dropout)
+
+    def _drop(self, x, deterministic):
+        if self.residual_dropout:
+            return self.res_drop(x, deterministic=deterministic)
+        return x
+
+    def __call__(self, x, deterministic=True):
+        d = deterministic
+        if not self.cfg.pre_norm:
+            x = self.norm1(x + self._drop(
+                self.self_attn(x, deterministic=d), d))
+            x = self.norm2(x + self._drop(self.ffn(x, deterministic=d), d))
+        else:
+            x = x + self._drop(
+                self.self_attn(self.norm1(x), deterministic=d), d)
+            x = x + self._drop(self.ffn(self.norm2(x), deterministic=d), d)
+        return x
+
+
+class DecoderLayer(nn.Module):
+    spec: LayerSpec
+    cfg: AMTConfig
+    depth: int = 0
+    residual_dropout: bool = False
+
+    def setup(self):
+        cross_spec = self.spec.cross_attn or self.spec.attn
+        self.self_attn = MultiHeadAttention(
+            cfg=self.spec.attn, d_model=self.cfg.d_model,
+            dropout_rate=self.cfg.dropout, depth=self.depth,
+            max_cache_len=self.cfg.max_seq_chord, name="self_attn")
+        self.cross_attn = MultiHeadAttention(
+            cfg=cross_spec, d_model=self.cfg.d_model, is_cross=True,
+            dropout_rate=self.cfg.dropout, depth=self.depth,
+            max_cache_len=self.cfg.max_seq_video, name="cross_attn")
+        self.ffn = make_ffn(self.spec, self.cfg, "ffn")
+        self.norm1 = make_norm(self.cfg.norm, self.cfg.d_model)
+        self.norm2 = make_norm(self.cfg.norm, self.cfg.d_model)
+        self.norm3 = make_norm(self.cfg.norm, self.cfg.d_model)
+        self.res_drop = nn.Dropout(self.cfg.dropout)
+
+    def _drop(self, x, deterministic):
+        if self.residual_dropout:
+            return self.res_drop(x, deterministic=deterministic)
+        return x
+
+    def prime(self, memory):
+        """Project and cache encoder memory K/V for cached decoding."""
+        self.cross_attn(memory, memory, mode="prime")
+
+    def __call__(self, x, memory=None, deterministic=True, mode="full",
+                 decode_pos=None):
+        d = deterministic
+        sa = lambda q: self.self_attn(q, causal=True, deterministic=d,
+                                      mode=mode, decode_pos=decode_pos)
+        ca = lambda q: self.cross_attn(q, memory, deterministic=d,
+                                       mode=mode, decode_pos=decode_pos)
+        if not self.cfg.pre_norm:
+            x = self.norm1(x + self._drop(sa(x), d))
+            x = self.norm2(x + self._drop(ca(x), d))
+            x = self.norm3(x + self._drop(self.ffn(x, deterministic=d), d))
+        else:
+            x = x + self._drop(sa(self.norm1(x)), d)
+            x = x + self._drop(ca(self.norm2(x)), d)
+            x = x + self._drop(self.ffn(self.norm3(x), deterministic=d), d)
+        return x

@@ -55,20 +55,25 @@ class SinusoidalPE(nn.Module):
 
 
 class LearnedPE(nn.Module):
-    """Learned absolute positions added to the input (V1/V2.0)."""
+    """Learned absolute positions added to the input (V1/V2.0).
+
+    ``position`` selects a single absolute position for the KV-cached
+    decode path (x has sequence length 1 there).
+    """
 
     d_model: int
     max_len: int = 300
 
     @nn.compact
-    def __call__(self, x):
-        seq_len = x.shape[-2]
+    def __call__(self, x, position=None):
         table = self.param(
             "embedding",
             nn.initializers.normal(stddev=1.0),
             (self.max_len, self.d_model),
         )
-        return x + table[:seq_len]
+        if position is None:
+            return x + table[: x.shape[-2]]
+        return x + table[position][None, None, :]
 
 
 @functools.lru_cache(maxsize=None)
