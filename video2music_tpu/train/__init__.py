@@ -1,0 +1,11 @@
+from .optim import make_optimizer, noam_schedule, radanw
+from .step import (TrainState, create_train_state, make_amt_train_step,
+                   make_amt_eval_step, make_regression_train_step,
+                   make_regression_eval_step)
+
+__all__ = [
+    "make_optimizer", "noam_schedule", "radanw",
+    "TrainState", "create_train_state", "make_amt_train_step",
+    "make_amt_eval_step", "make_regression_train_step",
+    "make_regression_eval_step",
+]
