@@ -17,9 +17,17 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import time
 
 import jax
+
+# Persistent compile cache: decode-loop XLA programs are large and the
+# remote-TPU compile is the dominant cost of a cold run.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -43,7 +51,7 @@ def _build():
             rng.standard_normal((B, 300, 512)).astype(np.float32)),
         emotion=jnp.asarray(rng.uniform(size=(B, 300, 6)).astype(np.float32)),
     )
-    variables = model.init(
+    variables = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0)},
         jnp.zeros((B, 299), jnp.int32), jnp.zeros((B, 299), jnp.int32),
         jnp.zeros((B, 299), jnp.int32), feats["semantic"], feats["key"],
@@ -57,7 +65,10 @@ def bench_cached(model, variables, feats, n_iters=3):
     gcfg = GenerateConfig(target_seq_length=300, temperature=1.0)
     primer = jnp.zeros((1, 8), jnp.int32).at[0, 0].set(1)
 
-    def run(seed):
+    # variables/feats must be jit ARGUMENTS — closing over them would bake
+    # the params in as XLA constants and constant-fold the whole encoder at
+    # compile time (minutes of compile for zero runtime gain).
+    def run(variables, feats, seed):
         return generate_chords(
             model, variables, semantic=feats["semantic"], key=feats["key"],
             scene_offset=feats["scene_offset"], motion=feats["motion"],
@@ -66,10 +77,10 @@ def bench_cached(model, variables, feats, n_iters=3):
             rng=jax.random.PRNGKey(seed), gcfg=gcfg)
 
     jitted = jax.jit(run)
-    jax.block_until_ready(jitted(0))  # compile
+    jax.block_until_ready(jitted(variables, feats, 0))  # compile
     t0 = time.perf_counter()
     for i in range(n_iters):
-        out = jitted(i + 1)
+        out = jitted(variables, feats, i + 1)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / n_iters
 
@@ -82,22 +93,20 @@ def bench_reference_style(model, variables, feats, buckets=(75, 150, 225, 300)):
 
     fwd_cache = {}
 
-    def make_fwd(L):
-        def fwd(variables, x, x_root, x_attr, rng):
-            logits, _ = model.apply(
-                variables, x, x_root, x_attr, feats["semantic"],
-                feats["key"], feats["scene_offset"], feats["motion"],
-                feats["emotion"], deterministic=True,
-                mutable=["moe_state", "metrics"])
-            probs = jax.nn.softmax(logits[:, -1, :C.CHORD_END])
-            return jax.random.categorical(rng, jnp.log(probs + 1e-9))
-        return jax.jit(fwd)
+    def fwd(variables, feats, x, x_root, x_attr, rng):
+        logits, _ = model.apply(
+            variables, x, x_root, x_attr, feats["semantic"],
+            feats["key"], feats["scene_offset"], feats["motion"],
+            feats["emotion"], deterministic=True,
+            mutable=["moe_state", "metrics"])
+        probs = jax.nn.softmax(logits[:, -1, :C.CHORD_END])
+        return jax.random.categorical(rng, jnp.log(probs + 1e-9))
 
     for L in buckets:
-        fwd_cache[L] = make_fwd(L)
+        fwd_cache[L] = jax.jit(fwd)
         x = jnp.zeros((1, L), jnp.int32)
         jax.block_until_ready(
-            fwd_cache[L](variables, x, x, x, jax.random.PRNGKey(0)))
+            fwd_cache[L](variables, feats, x, x, x, jax.random.PRNGKey(0)))
 
     gen = np.zeros((1, 300), np.int64)
     rng = jax.random.PRNGKey(0)
@@ -110,7 +119,7 @@ def bench_reference_style(model, variables, feats, buckets=(75, 150, 225, 300)):
         L = min(b for b in buckets if b >= cur)
         x = jnp.asarray(gen[:, :L])
         rng, sub = jax.random.split(rng)
-        nxt = fwd_cache[L](variables, x, x, x, sub)
+        nxt = fwd_cache[L](variables, feats, x, x, x, sub)
         gen[0, cur] = int(nxt[0])  # host round-trip, as in the reference
     jax.block_until_ready(nxt)
     elapsed = time.perf_counter() - t0

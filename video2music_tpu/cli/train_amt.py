@@ -1,0 +1,79 @@
+"""CLI: train the AMT (``python -m video2music_tpu.cli.train_amt``).
+
+Flag names mirror the reference's ``parse_train_args``
+(reference: ``utilities/argument_funcs.py:22-75``, dashes kept).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..core import constants as C
+from ..core.config import TrainConfig, amt_config
+from ..data import create_vevo_datasets
+from ..models import VideoMusicTransformer
+from ..train.loop import LoopConfig, train_amt
+
+
+def total_vf_dim(sample, motion_type: int) -> int:
+    """768 semantic + 1 scene + {1,512,768} motion + emotion dim
+    (reference: train.py:110-130)."""
+    sem = sample["semantic"].shape[-1]
+    emo = sample["emotion"].shape[-1]
+    motion = {0: 1, 1: 512, 2: 768}[motion_type]
+    return sem + 1 + motion + emo
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train the AMT on TPU")
+    p.add_argument("-dataset_dir", default="./dataset")
+    p.add_argument("-output_dir", default="./saved_models/AMT")
+    p.add_argument("-music_gen_version", default=None,
+                   help="None=base AMT; '1.1'..'3.2' fork variants")
+    p.add_argument("-epochs", type=int, default=50)
+    p.add_argument("-batch_size", type=int, default=32)
+    p.add_argument("-lr", type=float, default=None)
+    p.add_argument("-ce_smoothing", type=float, default=None)
+    p.add_argument("-optimizer", default="adam")
+    p.add_argument("-auxiliary_loss", action="store_true")
+    p.add_argument("-drop_loss", action="store_true")
+    p.add_argument("-augmentation", action="store_true")
+    p.add_argument("-motion_type", type=int, default=0)
+    p.add_argument("-n_layers", type=int, default=6)
+    p.add_argument("-num_heads", type=int, default=8)
+    p.add_argument("-d_model", type=int, default=512)
+    p.add_argument("-dim_feedforward", type=int, default=1024)
+    p.add_argument("-dropout", type=float, default=0.1)
+    p.add_argument("-weight_modulus", type=int, default=1)
+    p.add_argument("-continue_weights", default=None)
+    p.add_argument("-seed", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    train_ds, val_ds, _ = create_vevo_datasets(
+        dataset_root=args.dataset_dir, motion_type=args.motion_type,
+        augmentation=args.augmentation)
+    if not len(train_ds):
+        raise SystemExit(f"no complete samples under {args.dataset_dir}")
+    cfg = amt_config(
+        args.music_gen_version, n_layers=args.n_layers,
+        num_heads=args.num_heads, d_model=args.d_model,
+        d_ff=args.dim_feedforward, dropout=args.dropout,
+        total_vf_dim=total_vf_dim(train_ds[0], args.motion_type))
+    model = VideoMusicTransformer(cfg=cfg)
+    tcfg = TrainConfig(
+        batch_size=args.batch_size, epochs=args.epochs, lr=args.lr,
+        ce_smoothing=args.ce_smoothing, optimizer=args.optimizer,
+        auxiliary_loss=args.auxiliary_loss, seed=args.seed)
+    loop = LoopConfig(epochs=args.epochs, batch_size=args.batch_size,
+                      output_dir=args.output_dir,
+                      weight_modulus=args.weight_modulus,
+                      eval_train_subset=not args.augmentation,
+                      continue_from=args.continue_weights, seed=args.seed)
+    train_amt(model, tcfg, loop, train_ds, val_ds, drop_loss=args.drop_loss)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""Checkpoint save/restore via orbax.
+
+The reference saves bare ``model.state_dict()`` pickles (best-val-loss file +
+periodic epoch snapshots, reference: ``train.py:337-341,359-362``) and does
+NOT save optimizer state, so resume restarts the LR schedule from a step
+offset (``train.py:188-193``). Here a checkpoint is the full train state —
+params, MoE functional state, optimizer state, step — so resume is exact;
+the ``params_only=True`` mode reproduces the reference's weights-only file
+for interop/eval.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _path(path: str) -> str:
+    return os.path.abspath(os.fspath(path))
+
+
+def save_checkpoint(path: str, state, *, params_only: bool = False,
+                    config_json: Optional[dict] = None) -> None:
+    """Write a checkpoint directory. ``state`` is a TrainState (or any
+    pytree when params_only)."""
+    tree = {"params": state.params} if params_only else {
+        "params": state.params, "moe_state": state.moe_state,
+        "opt_state": state.opt_state, "step": state.step}
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(_path(path), tree, force=True)
+    if config_json is not None:
+        with open(os.path.join(_path(path), "config.json"), "w") as f:
+            json.dump(config_json, f, indent=2, default=str)
+
+
+def restore_checkpoint(path: str, target_state):
+    """Restore into the structure of ``target_state`` (a freshly created
+    TrainState). Weights-only checkpoints restore params and keep the rest
+    of the target."""
+    p = _path(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        meta = ckptr.metadata(p)
+        names = set(meta.item_metadata.keys()) if hasattr(
+            meta, "item_metadata") else None
+        full = {"params": target_state.params,
+                "moe_state": target_state.moe_state,
+                "opt_state": target_state.opt_state,
+                "step": target_state.step}
+        try:
+            restored = ckptr.restore(p, full)
+            return target_state.replace(**restored)
+        except Exception:
+            restored = ckptr.restore(p, {"params": target_state.params})
+            return target_state.replace(params=restored["params"])
+
+
+def load_params(path: str, params_like):
+    """Restore only params, given a matching abstract/concrete tree."""
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(_path(path), {"params": params_like})
+    return restored["params"]
