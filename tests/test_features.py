@@ -1,0 +1,130 @@
+"""MaxViT / scene detection / audio feature tests."""
+
+import io
+
+import jax
+import numpy as np
+import pytest
+
+from video2music_tpu.features.maxvit import (MaxViT, MaxViTConfig,
+                                             motion_diff_frames,
+                                             preprocess_diff_frames,
+                                             scalar_motion)
+from video2music_tpu.features.scene import (content_scores, detect_cuts,
+                                            scene_ids_per_second,
+                                            scene_offsets, scenes_from_cuts)
+from video2music_tpu.features.audio import (loudness_per_second,
+                                            note_density_per_second)
+from video2music_tpu.midi.writer import MIDIFile
+from video2music_tpu.midi.reader import read_midi
+
+
+def test_maxvit_tiny_forward(rng):
+    cfg = MaxViTConfig(channels=(8, 16), depths=(1, 1), stem_channels=8,
+                       partition=2, head_dim=4, image_size=16)
+    model = MaxViT(cfg=cfg)
+    x = rng.standard_normal((2, 16, 16, 3)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    feats = model.apply(params, x)
+    assert feats.shape == (2, 16)
+    assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_maxvit_t_output_is_512(rng):
+    # full config, shape check only via lazy shape inference (init is heavy)
+    cfg = MaxViTConfig()
+    assert cfg.channels[-1] == 512
+
+
+def test_motion_diff_and_scalar(rng):
+    frames = [rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)
+              for _ in range(4)]
+    diffs = motion_diff_frames(frames)
+    assert diffs.shape == (4, 24, 32, 3)
+    assert (diffs[0] == 0).all()  # leading zero frame
+    vals = scalar_motion(frames)
+    assert vals.shape == (4,)
+    assert vals[0] == 0.0 and (vals[1:] > 0).all()
+    pre = preprocess_diff_frames(diffs, image_size=16)
+    assert pre.shape == (4, 16, 16, 3)
+
+
+def _synthetic_video(n=60, h=24, w=32, cut_at=30, seed=0):
+    rng = np.random.default_rng(seed)
+    base1 = rng.integers(0, 80, (h, w, 3), dtype=np.uint8)
+    base2 = rng.integers(170, 250, (h, w, 3), dtype=np.uint8)
+    frames = []
+    for i in range(n):
+        base = base1 if i < cut_at else base2
+        noise = rng.integers(0, 5, (h, w, 3), dtype=np.uint8)
+        frames.append(np.clip(base.astype(int) + noise, 0, 255).astype(
+            np.uint8))
+    return np.stack(frames)
+
+
+def test_scene_detection_finds_hard_cut():
+    frames = _synthetic_video()
+    scores = content_scores(frames)
+    assert scores[0] == 0.0
+    assert scores[30] > 10 * np.median(scores[1:29])
+    cuts = detect_cuts(frames)
+    assert cuts == [30]
+
+
+def test_scene_detection_no_cut_on_static():
+    frames = _synthetic_video(cut_at=10**9)  # never switches
+    assert detect_cuts(frames) == []
+
+
+def test_scene_ids_and_offsets():
+    scene_list = [(0.0, 3.2), (3.2, 7.0)]
+    ids = scene_ids_per_second(scene_list, 7)
+    assert ids == [0, 0, 0, 0, 1, 1, 1]
+    offs = scene_offsets(ids)
+    assert offs == [0, 1, 2, 3, 0, 1, 2]
+    assert scene_ids_per_second([], 3) == [0, 0, 0]
+
+
+def test_scenes_from_cuts():
+    spans = scenes_from_cuts([30], 60, fps=10.0)
+    assert spans == [(0.0, 3.0), (3.0, 6.0)]
+
+
+def test_loudness_per_second():
+    rate = 1000
+    quiet = (np.sin(np.linspace(0, 440, rate)) * 300).astype(np.int16)
+    loud = (np.sin(np.linspace(0, 440, rate)) * 30000).astype(np.int16)
+    vals = loudness_per_second(np.concatenate([quiet, loud]), rate)
+    assert len(vals) == 2
+    assert float(vals[1]) > float(vals[0])
+    assert 0.0 <= float(vals[0]) <= 1.0
+
+
+def test_note_density_roundtrip(tmp_path):
+    m = MIDIFile(1)
+    m.addTempo(0, 0, 60)  # 1 beat = 1 second
+    for beat in range(4):
+        m.addNote(0, 0, 60 + beat, beat, 0.9, 90)
+    m.addNote(0, 0, 72, 0.0, 3.5, 90)  # long note overlaps all windows
+    p = tmp_path / "t.mid"
+    with open(p, "wb") as f:
+        m.writeFile(f)
+    md = read_midi(str(p))
+    assert len(md.notes) == 5
+    np.testing.assert_allclose(md.notes[0].start, 0.0, atol=1e-3)
+    dens = note_density_per_second(str(p))
+    assert dens[0] == 2.0  # short note + long note
+    assert dens[1] == 2.0
+    assert dens[3] == 2.0  # note at beat 3 + tail of long note
+
+
+def test_midi_reader_tempo_change(tmp_path):
+    m = MIDIFile(1)
+    m.addTempo(0, 0, 120)   # 0.5 s/beat
+    m.addTempo(0, 2, 60)    # from beat 2: 1 s/beat
+    m.addNote(0, 0, 60, 3.0, 1.0, 90)  # starts at 2*0.5 + 1*1.0 = 2.0 s
+    p = tmp_path / "t2.mid"
+    with open(p, "wb") as f:
+        m.writeFile(f)
+    md = read_midi(str(p))
+    np.testing.assert_allclose(md.notes[0].start, 2.0, atol=1e-3)

@@ -1,0 +1,123 @@
+"""Scene-cut detection: a from-scratch reimplementation of PySceneDetect's
+AdaptiveDetector content logic as batched numpy/JAX frame-score math.
+
+The reference runs ``scenedetect.AdaptiveDetector`` over the video
+(reference: ``video2music.py:211-237``, ``script/scene_feature.py``). The
+algorithm (scenedetect 0.6.1 semantics):
+
+  1. content score per frame = mean over HSV channels of the mean absolute
+     pixel delta to the previous frame (ContentDetector's default
+     hue/sat/lum weights 1/1/1, no edges);
+  2. adaptive ratio = score / average score over a +-window_width
+     neighborhood (excluding the frame itself);
+  3. a cut fires when ratio >= adaptive_threshold AND score >=
+     min_content_val AND at least min_scene_len frames since the last cut.
+
+Frame scores are computed for the whole clip in one vectorized pass —
+the per-frame Python loop of the original becomes an array program.
+
+Outputs mirror the reference's .lab conventions: per-second scene ids from
+scene end-times (ceil seconds, video2music.py:222-229) and per-second
+seconds-since-cut offsets (video2music.py:239-265).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+
+def _rgb_to_hsv_arrays(frames: np.ndarray) -> np.ndarray:
+    """uint8 RGB (T, H, W, 3) -> float32 HSV in OpenCV ranges
+    (H in [0,180), S,V in [0,255]) without requiring cv2."""
+    f = frames.astype(np.float32) / 255.0
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    maxc = np.max(f, axis=-1)
+    minc = np.min(f, axis=-1)
+    v = maxc
+    delta = maxc - minc
+    s = np.where(maxc > 0, delta / np.maximum(maxc, 1e-12), 0.0)
+    # hue
+    rc = np.where(delta > 0, (maxc - r) / np.maximum(delta, 1e-12), 0.0)
+    gc = np.where(delta > 0, (maxc - g) / np.maximum(delta, 1e-12), 0.0)
+    bc = np.where(delta > 0, (maxc - b) / np.maximum(delta, 1e-12), 0.0)
+    h = np.where(maxc == r, bc - gc,
+                 np.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = (h / 6.0) % 1.0
+    h = np.where(delta == 0, 0.0, h)
+    return np.stack([h * 180.0, s * 255.0, v * 255.0], axis=-1)
+
+
+def content_scores(frames: np.ndarray) -> np.ndarray:
+    """Per-frame HSV content score; score[0] = 0 (no previous frame)."""
+    hsv = _rgb_to_hsv_arrays(frames)
+    deltas = np.abs(hsv[1:] - hsv[:-1])
+    # hue wraps at 180
+    dh = deltas[..., 0]
+    deltas[..., 0] = np.minimum(dh, 180.0 - dh)
+    per_channel = deltas.mean(axis=(1, 2))  # (T-1, 3)
+    scores = per_channel.mean(axis=-1)
+    return np.concatenate([[0.0], scores])
+
+
+def detect_cuts(frames: np.ndarray, *, adaptive_threshold: float = 3.0,
+                min_scene_len: int = 15, window_width: int = 2,
+                min_content_val: float = 15.0) -> List[int]:
+    """Frame indices where new scenes start (excluding frame 0)."""
+    scores = content_scores(frames)
+    T = len(scores)
+    cuts = []
+    last_cut = 0
+    for i in range(T):
+        lo, hi = max(0, i - window_width), min(T, i + window_width + 1)
+        neigh = np.concatenate([scores[lo:i], scores[i + 1:hi]])
+        denom = neigh.mean() if neigh.size else 0.0
+        ratio = scores[i] / denom if denom > 1e-9 else (
+            255.0 if scores[i] >= min_content_val else 0.0)
+        if (ratio >= adaptive_threshold
+                and scores[i] >= min_content_val
+                and i - last_cut >= min_scene_len):
+            cuts.append(i)
+            last_cut = i
+    return cuts
+
+
+def scenes_from_cuts(cuts: Sequence[int], n_frames: int,
+                     fps: float) -> List[Tuple[float, float]]:
+    """Cut frame indices -> (start_sec, end_sec) scene spans."""
+    bounds = [0] + list(cuts) + [n_frames]
+    return [(bounds[i] / fps, bounds[i + 1] / fps)
+            for i in range(len(bounds) - 1)]
+
+
+def scene_ids_per_second(scene_list: Sequence[Tuple[float, float]],
+                         n_seconds: int) -> List[int]:
+    """Scene spans -> per-second scene ids (ceil of scene end, reference:
+    video2music.py:222-229); all zeros when no scenes were detected."""
+    if not scene_list:
+        return [0] * n_seconds
+    out = {}
+    sec = 0
+    for idx, (_, end) in enumerate(scene_list):
+        for s in range(sec, math.ceil(end)):
+            out[s] = idx
+            sec += 1
+    return [out.get(i, scene_list and len(scene_list) - 1)
+            for i in range(min(len(out), n_seconds))] + \
+           [len(scene_list) - 1] * max(0, n_seconds - len(out))
+
+
+def scene_offsets(scene_ids: Sequence[int]) -> List[int]:
+    """Seconds-since-scene-change (reference: video2music.py:253-262)."""
+    if not scene_ids:
+        return []
+    out = []
+    current, offset = scene_ids[0], 0
+    for sid in scene_ids:
+        if sid != current:
+            current, offset = sid, 0
+        out.append(offset)
+        offset += 1
+    return out
