@@ -1,0 +1,364 @@
+"""The product API: ``Video2music().generate(video, primer, key, ...)``.
+
+Rebuild of the reference's end-to-end pipeline (reference:
+``video2music.py:587-1053``) on the TPU-native stack:
+
+  * feature extraction is BATCHED — all frames go through CLIP / MaxViT in
+    one jitted forward each (the reference runs one frame per forward,
+    video2music.py:160-165,189-194,324-326);
+  * chord decoding is the KV-cached in-graph sampler (decode/sampler.py)
+    instead of ~300 full-prefix re-forwards;
+  * MIDI assembly / FluidSynth / ffmpeg muxing stay host-side, as upstream.
+
+Reproduced live-path quirks (documented, flag-switchable where sensible):
+  * the emotion index used for key/primer fallback is a FLAT argmax over the
+    (300, 6) emotion matrix (``torch.argmax`` with no dim,
+    video2music.py:722), so the fallback key is almost always "C major";
+  * ``addControllerEvent(0, 0, 0, panning_val, 0)`` passes the pan value as
+    the controller NUMBER with value 0 (video2music.py:966) — i.e. panning
+    never actually pans; ``correct_panning=True`` emits a proper CC10;
+  * the in-renderer transposition is computed then zeroed
+    (midi/arpeggio.py docstring).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import constants as C
+from ..core.config import RegressionConfig, amt_config
+from ..core.vocab import chord_inv_dict
+from ..decode.sampler import GenerateConfig, generate_chords
+from ..midi import MIDIFile, Chord, voice, add_chord, chord_offsets
+from ..midi.arpeggio import density_bucket, velocity_from_loudness
+from ..models import VideoMusicTransformer, VideoRegression
+from . import video_io
+from .primer import TRANSPOSE_KEY, parse_primer, resolve_key_and_primer
+
+ARPEGGIO_INSTRUMENTS = frozenset(
+    (3, 7, 8, 11, 14, 27, 31, 37, 38, 39))
+LEFT_PAN = frozenset((13, 14, 16, 25, 28, 29, 34, 39))
+CENTER_PAN = frozenset((7, 15, 17, 20, 21, 23, 24, 30, 32, 33, 35, 36, 37,
+                        38))
+PAN_VALS = {"left": 32, "center": 64, "right": 96}
+LOW_VELOCITY_INSTRUMENTS = frozenset((14,))
+BASE_TEMPO = 120
+CHORD_DURATION_BEATS = 2  # 1 second per chord at 120 bpm
+INSTRUMENT_THRESHOLD = 0.35
+MAX_SECONDS = 300
+
+
+@dataclasses.dataclass
+class GenerateResult:
+    chords: List[str]
+    chord_ids: np.ndarray
+    midi_path: Optional[str]
+    audio_path: Optional[str]
+    video_path: Optional[str]
+    densities: List[int]
+    velocities: List[int]
+    instruments: np.ndarray
+    key: str
+
+
+def smooth_emotion(emotion: np.ndarray, window: int = 5) -> np.ndarray:
+    """Grouped 1-d average over time, zero padded (reference:
+    video2music.py:827-831). emotion: (L, 6)."""
+    k = np.ones(window, np.float32) / window
+    pad = window // 2
+    padded = np.pad(emotion, ((pad, pad), (0, 0)))
+    out = np.empty_like(emotion)
+    for c in range(emotion.shape[1]):
+        out[:, c] = np.convolve(padded[:, c], k, mode="valid")
+    return out
+
+
+def _pad_to(arr: np.ndarray, length: int) -> np.ndarray:
+    if arr.shape[0] >= length:
+        return arr[:length]
+    pad_shape = (length - arr.shape[0],) + arr.shape[1:]
+    return np.concatenate([arr, np.zeros(pad_shape, arr.dtype)], axis=0)
+
+
+class Video2music:
+    """TPU-native Video2music.
+
+    Weights come from orbax checkpoints (``amt_checkpoint``/
+    ``reg_checkpoint``) or random initialization (smoke/testing). Feature
+    extractor params (CLIP / MaxViT) are optional: without them,
+    ``generate`` must be given precomputed ``features``.
+    """
+
+    def __init__(self, *, music_gen_version: str = "2.2",
+                 reg_model: str = "bimamba+", motion_type: int = 1,
+                 amt_checkpoint: Optional[str] = None,
+                 reg_checkpoint: Optional[str] = None,
+                 clip_params=None, emotion_text_embeds=None,
+                 maxvit_params=None, seed: int = 0,
+                 amt_overrides: Optional[dict] = None,
+                 reg_overrides: Optional[dict] = None):
+        self.motion_type = motion_type
+        motion_dim = {0: 1, 1: 512, 2: 768}[motion_type]
+        total_vf = 768 + 1 + motion_dim + 6  # reference: video2music.py:609
+        self.amt_cfg = amt_config(music_gen_version, total_vf_dim=total_vf,
+                                  **(amt_overrides or {}))
+        self.model = VideoMusicTransformer(cfg=self.amt_cfg)
+        self.reg_cfg = RegressionConfig(reg_model=reg_model,
+                                        total_vf_dim=768 + 6,
+                                        **(reg_overrides or {}))
+        self.model_reg = VideoRegression(cfg=self.reg_cfg)
+        self.clip_params = clip_params
+        self.emotion_text_embeds = emotion_text_embeds
+        self.maxvit_params = maxvit_params
+
+        rng = jax.random.PRNGKey(seed)
+        L = MAX_SECONDS
+        dummy = dict(
+            x=jnp.zeros((1, L - 1), jnp.int32),
+            sem=jnp.zeros((1, L, 768), jnp.float32),
+            key=jnp.zeros((1, 1), jnp.float32),
+            scene=jnp.zeros((1, L), jnp.float32),
+            motion=jnp.zeros((1, L, motion_dim), jnp.float32),
+            emo=jnp.zeros((1, L, 6), jnp.float32))
+        self.variables = jax.jit(self.model.init)(
+            {"params": rng}, dummy["x"], dummy["x"], dummy["x"],
+            dummy["sem"], dummy["key"], dummy["scene"], dummy["motion"],
+            dummy["emo"])
+        self.reg_variables = jax.jit(self.model_reg.init)(
+            {"params": jax.random.fold_in(rng, 1)}, dummy["sem"],
+            dummy["scene"], dummy["motion"], dummy["emo"])
+        if amt_checkpoint:
+            from ..train.checkpoint import load_params
+            self.variables = dict(self.variables)
+            self.variables["params"] = load_params(
+                amt_checkpoint, self.variables["params"])
+        if reg_checkpoint:
+            from ..train.checkpoint import load_params
+            self.reg_variables = dict(self.reg_variables)
+            self.reg_variables["params"] = load_params(
+                reg_checkpoint, self.reg_variables["params"])
+
+    # ------------------------------------------------------------------
+    def extract_features(self, video_path: str) -> Dict[str, np.ndarray]:
+        """Video file -> feature dict (semantic, emotion, scene_offset,
+        motion), each per-second, unpadded."""
+        from ..features.clip import (CLIP, clip_vit_l14_336_config,
+                                     preprocess_frames)
+        from ..features import scene as scene_mod
+        from ..features.maxvit import (MaxViT, maxvit_t_config,
+                                       motion_diff_frames,
+                                       preprocess_diff_frames, scalar_motion)
+
+        if self.clip_params is None or self.emotion_text_embeds is None:
+            raise ValueError(
+                "CLIP params / emotion text embeddings not loaded; pass "
+                "features= to generate() or supply clip_params + "
+                "emotion_text_embeds (export with tools/convert_clip.py)")
+        frames_1fps, frames_all, fps, duration = video_io.read_frames(
+            video_path, MAX_SECONDS)
+        n_sec = frames_1fps.shape[0]
+
+        clip_model = CLIP(cfg=clip_vit_l14_336_config())
+        pixels = jnp.asarray(preprocess_frames(frames_1fps))
+        variables = {"params": self.clip_params}
+        semantic = np.asarray(jax.jit(
+            lambda v, p: clip_model.apply(v, p,
+                                          method=clip_model.encode_image)
+        )(variables, pixels))
+        emotion = np.asarray(jax.jit(
+            lambda v, p, t: clip_model.apply(v, p, t,
+                                             method=clip_model.emotion_probs)
+        )(variables, pixels, jnp.asarray(self.emotion_text_embeds)))
+
+        # scene ids over the full frame stream, then per-second offsets
+        import cv2
+        rgb_all = np.stack([cv2.cvtColor(f, cv2.COLOR_BGR2RGB)
+                            for f in frames_all])
+        cuts = scene_mod.detect_cuts(rgb_all)
+        spans = scene_mod.scenes_from_cuts(cuts, len(frames_all), fps)
+        ids = scene_mod.scene_ids_per_second(spans, n_sec)
+        scene_offset = np.asarray(scene_mod.scene_offsets(ids), np.float32)
+
+        sec_frames = video_io.frames_per_second(frames_all, fps)
+        if self.motion_type == 0:
+            motion = scalar_motion(sec_frames)
+        else:
+            diffs = motion_diff_frames(sec_frames)
+            if self.maxvit_params is None:
+                raise ValueError("maxvit_params required for motion_type>=1")
+            mv = MaxViT(cfg=maxvit_t_config())
+            motion = np.asarray(jax.jit(mv.apply)(
+                {"params": self.maxvit_params},
+                jnp.asarray(preprocess_diff_frames(diffs))))
+        return {"semantic": semantic, "emotion": emotion,
+                "scene_offset": scene_offset, "motion": motion}
+
+    # ------------------------------------------------------------------
+    def generate(self, video: Optional[str] = None,
+                 primer: Optional[str] = "", key: Optional[str] = None,
+                 transposition_value: int = 0,
+                 custom_sound_font: bool = False, temperature: float = 1.0,
+                 *, features: Optional[Dict[str, np.ndarray]] = None,
+                 output_dir: str = "./output", seed: int = 0,
+                 correct_panning: bool = False,
+                 sound_font: Optional[str] = None) -> GenerateResult:
+        os.makedirs(output_dir, exist_ok=True)
+        if features is None:
+            if video is None:
+                raise ValueError("need a video path or precomputed features")
+            features = self.extract_features(video)
+
+        L = MAX_SECONDS
+        n_sec = min(int(features["semantic"].shape[0]), L)
+        semantic = _pad_to(np.asarray(features["semantic"], np.float32), L)
+        emotion = _pad_to(np.asarray(features["emotion"], np.float32), L)
+        scene_offset = _pad_to(
+            np.asarray(features["scene_offset"], np.float32), L)
+        motion = _pad_to(np.asarray(features["motion"], np.float32), L)
+
+        # key / primer resolution — the flat argmax reproduces the
+        # reference's torch.argmax-without-dim (video2music.py:722)
+        key, key_feature, primer = resolve_key_and_primer(
+            key, primer, emotion)
+        primer_ids, primer_roots, primer_attrs = parse_primer(primer)
+
+        emotion = smooth_emotion(emotion)
+
+        gcfg = GenerateConfig(target_seq_length=L, temperature=temperature,
+                              max_conseq_N=0, max_conseq_chord=2)
+        P = len(primer_ids)
+        pad_primer = lambda a, pad: np.concatenate(
+            [a, np.full(L - len(a), pad, np.int32)])[None]
+        out = self._jitted_generate(gcfg, P)(
+            self.variables, self.reg_variables,
+            dict(semantic=jnp.asarray(semantic)[None],
+                 key=jnp.asarray([[key_feature]], jnp.float32),
+                 scene_offset=jnp.asarray(scene_offset)[None],
+                 motion=jnp.asarray(motion)[None],
+                 emotion=jnp.asarray(emotion)[None],
+                 primer=jnp.asarray(pad_primer(primer_ids, C.CHORD_PAD)),
+                 primer_root=jnp.asarray(
+                     pad_primer(primer_roots, C.CHORD_ROOT_PAD)),
+                 primer_attr=jnp.asarray(
+                     pad_primer(primer_attrs, C.CHORD_ATTR_PAD))),
+            jax.random.PRNGKey(seed))
+
+        chord_ids = np.asarray(out["gen_seq"][0])[:n_sec]
+        ln_nd = np.asarray(out["ln_nd"][0])[:n_sec]
+        inst_probs = np.asarray(out["instrument"][0])[:n_sec]
+
+        # post-processing (reference: video2music.py:849-933)
+        note_density = np.clip(np.round(ln_nd[:, 0]), 0, 40).astype(int)
+        loudness_lv = np.clip((ln_nd[:, 1] * 100).astype(int), 0, 50)
+        emotion_idx = np.argmax(emotion[:n_sec], axis=1)
+        velocities = [velocity_from_loudness(loudness_lv[i], emotion_idx[i])
+                      for i in range(n_sec)]
+        densities = [density_bucket(note_density[i], emotion_idx[i])
+                     for i in range(n_sec)]
+        inst_bin = (inst_probs >= INSTRUMENT_THRESHOLD).astype(np.float32)
+
+        inv = chord_inv_dict()
+        chords = [inv.get(int(i), "N") for i in chord_ids]
+        offsets = chord_offsets(chords)
+        midi_chords = voice([
+            [] if s == "N" else Chord(s.replace(":", "")).getMIDI(
+                key[0].lower(), 4)
+            for s in chords])
+        trans = TRANSPOSE_KEY.get(key, transposition_value)
+
+        midi_path = os.path.join(output_dir, "output.mid")
+        generated = MIDIFile(1)
+        generated.addTempo(0, 0, BASE_TEMPO)
+        track_files: Dict[int, MIDIFile] = {}
+        chosen: set = set()
+        for i, chord in enumerate(midi_chords):
+            add_chord(generated, chord, offsets[i], densities[i], trans,
+                      i * CHORD_DURATION_BEATS, CHORD_DURATION_BEATS,
+                      velocities[i], int(emotion_idx[i]),
+                      arpeggio_chord=True)
+            for inst_id in np.nonzero(inst_bin[i])[0]:
+                inst_id = int(inst_id)
+                if inst_id not in track_files:
+                    mf = MIDIFile(1)
+                    mf.addTempo(0, 0, BASE_TEMPO)
+                    pan = (PAN_VALS["left"] if inst_id in LEFT_PAN else
+                           PAN_VALS["center"] if inst_id in CENTER_PAN else
+                           PAN_VALS["right"])
+                    if correct_panning:
+                        mf.addControllerEvent(0, 0, 0, 10, pan)
+                    else:
+                        # reference quirk: pan value as controller number
+                        mf.addControllerEvent(0, 0, 0, pan, 0)
+                    track_files[inst_id] = mf
+                arp = (inst_id in ARPEGGIO_INSTRUMENTS
+                       or int(emotion_idx[i]) in (0, 1, 2))
+                vel = velocities[i] * (
+                    1.15 if inst_id in LOW_VELOCITY_INSTRUMENTS else 1.0)
+                add_chord(track_files[inst_id], chord, offsets[i],
+                          densities[i], trans, i * CHORD_DURATION_BEATS,
+                          CHORD_DURATION_BEATS, vel, int(emotion_idx[i]),
+                          arpeggio_chord=arp)
+                chosen.add(inst_id)
+        with open(midi_path, "wb") as f:
+            generated.writeFile(f)
+        # per-instrument stems alongside (used for custom-soundfont mixes)
+        stems_dir = os.path.join(output_dir, "stems")
+        os.makedirs(stems_dir, exist_ok=True)
+        for inst_id, mf in track_files.items():
+            with open(os.path.join(stems_dir, f"inst_{inst_id:02d}.mid"),
+                      "wb") as f:
+                mf.writeFile(f)
+        np.savetxt(os.path.join(output_dir, "inst.csv"), inst_bin,
+                   delimiter=",", fmt="%.0f")
+
+        audio_path = None
+        out_video = None
+        if video_io.has_fluidsynth():
+            audio_path = os.path.join(output_dir, "output.flac")
+            video_io.midi_to_audio(midi_path, audio_path, sound_font)
+            if video is not None and video_io.has_ffmpeg():
+                out_video = os.path.join(output_dir, "output.mp4")
+                video_io.mux_audio_onto_video(video, audio_path, out_video)
+
+        return GenerateResult(
+            chords=chords, chord_ids=chord_ids, midi_path=midi_path,
+            audio_path=audio_path, video_path=out_video,
+            densities=densities, velocities=velocities,
+            instruments=inst_bin, key=key)
+
+    # ------------------------------------------------------------------
+    def _jitted_generate(self, gcfg, num_primer):
+        """Compiled decode+regression program, cached per (gcfg, P)."""
+        cache = getattr(self, "_gen_cache", None)
+        if cache is None:
+            cache = self._gen_cache = {}
+        key = (gcfg, num_primer)
+        if key not in cache:
+            cache[key] = jax.jit(
+                lambda v, rv, feats, rng: self._generate_jit(
+                    v, rv, feats, rng, gcfg, num_primer))
+        return cache[key]
+
+    def _generate_jit(self, variables, reg_variables, feats, rng, gcfg,
+                      num_primer):
+        """One traced program: chord decode + regression forward."""
+        out = generate_chords(
+            self.model, variables, semantic=feats["semantic"],
+            key=feats["key"], scene_offset=feats["scene_offset"],
+            motion=feats["motion"], emotion=feats["emotion"],
+            primer=feats["primer"], primer_root=feats["primer_root"],
+            primer_attr=feats["primer_attr"], num_primer=num_primer,
+            rng=rng, gcfg=gcfg)
+        (ln_nd, inst), _ = self.model_reg.apply(
+            reg_variables, feats["semantic"], feats["scene_offset"],
+            feats["motion"], feats["emotion"], deterministic=True,
+            mutable=["moe_state", "metrics"])
+        out["ln_nd"] = ln_nd
+        out["instrument"] = inst
+        return out

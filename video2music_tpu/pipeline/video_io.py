@@ -1,0 +1,100 @@
+"""Host-side video IO: frame extraction and audio/video muxing.
+
+The reference shells out to ffmpeg for 1-fps JPEG extraction
+(``video2music.py:144-147``) and uses moviepy (ffmpeg underneath) to mux the
+rendered audio back onto the video (``:1033-1052``). Here frames are read
+directly with cv2 (no JPEG round-trip, frames go to the feature extractors
+as one batched array) and the mux is a single ffmpeg invocation.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+from typing import List, Tuple
+
+import numpy as np
+
+
+def has_ffmpeg() -> bool:
+    return shutil.which("ffmpeg") is not None
+
+
+def has_fluidsynth() -> bool:
+    return shutil.which("fluidsynth") is not None
+
+
+def read_frames(video_path: str, max_seconds: int = 300):
+    """Decode the video once; returns (frames_1fps_rgb, frames_all_bgr, fps,
+    duration_sec). frames_1fps matches the reference's ffmpeg 1-fps select
+    (first frame of each second); frames_all feed scene/motion extraction."""
+    import cv2
+
+    cap = cv2.VideoCapture(str(video_path))
+    if not cap.isOpened():
+        raise FileNotFoundError(f"cannot open video {video_path!r}")
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    frames_all: List[np.ndarray] = []
+    frames_1fps: List[np.ndarray] = []
+    next_second = 0.0
+    idx = 0
+    while True:
+        ret, frame = cap.read()
+        if not ret:
+            break
+        t = idx / fps
+        if t < max_seconds:
+            frames_all.append(frame)
+            if t >= next_second:
+                frames_1fps.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+                next_second += 1.0
+        idx += 1
+    cap.release()
+    duration = idx / fps
+    return np.stack(frames_1fps), frames_all, fps, duration
+
+
+def frames_per_second(frames_all: List[np.ndarray], fps: float
+                      ) -> List[np.ndarray]:
+    """One BGR frame per second (for the motion diff loop,
+    reference: video2music.py:311-335)."""
+    out = []
+    next_second = 0.0
+    for idx, frame in enumerate(frames_all):
+        if idx / fps >= next_second:
+            out.append(frame)
+            next_second += 1.0
+    return out
+
+
+def midi_to_audio(midi_path: str, audio_path: str,
+                  sound_font: str | None = None) -> None:
+    """FluidSynth render (reference: video2music.py:994-996 via midi2audio)."""
+    cmd = ["fluidsynth", "-ni"]
+    if sound_font:
+        cmd.append(str(sound_font))
+    cmd += [str(midi_path), "-F", str(audio_path), "-r", "44100"]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def mix_audio(paths: List[str], out_path: str) -> None:
+    """Overlay-mix rendered stems (replaces the pydub overlay loop,
+    reference: video2music.py:997-1031) with one ffmpeg amix."""
+    cmd = ["ffmpeg", "-y"]
+    for p in paths:
+        cmd += ["-i", str(p)]
+    cmd += ["-filter_complex",
+            f"amix=inputs={len(paths)}:duration=longest:normalize=0",
+            str(out_path)]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def mux_audio_onto_video(video_path: str, audio_path: str,
+                         out_path: str) -> None:
+    """Attach audio to video, trimming to the shorter stream
+    (reference: video2music.py:1033-1052 via moviepy)."""
+    cmd = ["ffmpeg", "-y", "-i", str(video_path), "-i", str(audio_path),
+           "-map", "0:v:0", "-map", "1:a:0", "-c:v", "copy", "-shortest",
+           str(out_path)]
+    subprocess.run(cmd, check=True, capture_output=True)
