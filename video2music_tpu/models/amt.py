@@ -37,6 +37,15 @@ from ..ops.norms import make_norm
 from .layers import DecoderLayer, EncoderLayer
 
 
+def _dominant_emotion_ids(emotion):
+    """(B, L, n_emo) probabilities -> (B, L) dominant-emotion ids, -1 where
+    the row is all zero (PAD). Feeds the MoE expert-emotion attribution
+    (functional form of third_party/log_experts.py:27-47)."""
+    ids = jnp.argmax(emotion, axis=-1).astype(jnp.int32)
+    all_zero = jnp.all(emotion == 0.0, axis=-1)
+    return jnp.where(all_zero, -1, ids)
+
+
 class VideoMusicTransformer(nn.Module):
     cfg: AMTConfig
 
@@ -139,8 +148,10 @@ class VideoMusicTransformer(nn.Module):
         elif self.cfg.pos_encoding == "learned":
             xf = self.pe_chord(xf)
         out = xf
+        emotion_ids = _dominant_emotion_ids(emotion)
         for layer in self.decoder_stack:
-            out = layer(out, memory, deterministic=deterministic)
+            out = layer(out, memory, deterministic=deterministic,
+                        emotion_ids=emotion_ids)
         out = self.decoder_norm(out)
         if self.cfg.separated:
             return self.w_out_root(out), self.w_out_attr(out)
@@ -157,8 +168,10 @@ class VideoMusicTransformer(nn.Module):
             vf = self.pe_video(vf, deterministic=deterministic)
         elif self.cfg.pos_encoding == "learned":
             vf = self.pe_video(vf)
+        emotion_ids = _dominant_emotion_ids(emotion)
         for layer in self.encoder_stack:
-            vf = layer(vf, deterministic=deterministic)
+            vf = layer(vf, deterministic=deterministic,
+                       emotion_ids=emotion_ids)
         return self.encoder_norm(vf)
 
     def prime(self, memory):

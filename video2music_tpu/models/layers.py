@@ -88,16 +88,20 @@ class EncoderLayer(nn.Module):
             return self.res_drop(x, deterministic=deterministic)
         return x
 
-    def __call__(self, x, deterministic=True):
+    def __call__(self, x, deterministic=True, emotion_ids=None):
         d = deterministic
+        ffn = lambda h: (self.ffn(h, deterministic=d,
+                                  emotion_ids=emotion_ids)
+                         if isinstance(self.ffn, MoELayer)
+                         else self.ffn(h, deterministic=d))
         if not self.cfg.pre_norm:
             x = self.norm1(x + self._drop(
                 self.self_attn(x, deterministic=d), d))
-            x = self.norm2(x + self._drop(self.ffn(x, deterministic=d), d))
+            x = self.norm2(x + self._drop(ffn(x), d))
         else:
             x = x + self._drop(
                 self.self_attn(self.norm1(x), deterministic=d), d)
-            x = x + self._drop(self.ffn(self.norm2(x), deterministic=d), d)
+            x = x + self._drop(ffn(self.norm2(x)), d)
         return x
 
 
@@ -133,18 +137,22 @@ class DecoderLayer(nn.Module):
         self.cross_attn(memory, memory, mode="prime")
 
     def __call__(self, x, memory=None, deterministic=True, mode="full",
-                 decode_pos=None):
+                 decode_pos=None, emotion_ids=None):
         d = deterministic
         sa = lambda q: self.self_attn(q, causal=True, deterministic=d,
                                       mode=mode, decode_pos=decode_pos)
         ca = lambda q: self.cross_attn(q, memory, deterministic=d,
                                        mode=mode, decode_pos=decode_pos)
+        ffn = lambda h: (self.ffn(h, deterministic=d,
+                                  emotion_ids=emotion_ids)
+                         if isinstance(self.ffn, MoELayer)
+                         else self.ffn(h, deterministic=d))
         if not self.cfg.pre_norm:
             x = self.norm1(x + self._drop(sa(x), d))
             x = self.norm2(x + self._drop(ca(x), d))
-            x = self.norm3(x + self._drop(self.ffn(x, deterministic=d), d))
+            x = self.norm3(x + self._drop(ffn(x), d))
         else:
             x = x + self._drop(sa(self.norm1(x)), d)
             x = x + self._drop(ca(self.norm2(x)), d)
-            x = x + self._drop(self.ffn(self.norm3(x), deterministic=d), d)
+            x = x + self._drop(ffn(self.norm3(x)), d)
         return x

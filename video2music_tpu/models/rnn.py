@@ -9,6 +9,7 @@ to the outputs of every layer except the last).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -27,7 +28,14 @@ class RNNStack(nn.Module):
         H = self.d_model
         gates = 3 if self.cell == "gru" else 4
         B = x.shape[0]
-        init = nn.initializers.uniform(scale=2 * H ** -0.5)
+
+        def init(key, shape, dtype=jnp.float32):
+            # torch RNN default: U(-1/sqrt(H), 1/sqrt(H)). The centering must
+            # happen INSIDE the initializer — subtracting after self.param
+            # would also shift weights restored from checkpoints.
+            scale = H ** -0.5
+            return jax.random.uniform(key, shape, dtype, -scale, scale)
+
         directions = 2 if self.bidirectional else 1
 
         for layer in range(self.n_layers):
@@ -35,14 +43,10 @@ class RNNStack(nn.Module):
             outs = []
             for direction in range(directions):
                 sfx = f"_l{layer}" + ("_reverse" if direction else "")
-                w_ih = self.param(f"weight_ih{sfx}", init, (gates * H, in_dim)) \
-                    - H ** -0.5
-                w_hh = self.param(f"weight_hh{sfx}", init, (gates * H, H)) \
-                    - H ** -0.5
-                b_ih = self.param(f"bias_ih{sfx}", init, (gates * H,)) \
-                    - H ** -0.5
-                b_hh = self.param(f"bias_hh{sfx}", init, (gates * H,)) \
-                    - H ** -0.5
+                w_ih = self.param(f"weight_ih{sfx}", init, (gates * H, in_dim))
+                w_hh = self.param(f"weight_hh{sfx}", init, (gates * H, H))
+                b_ih = self.param(f"bias_ih{sfx}", init, (gates * H,))
+                b_hh = self.param(f"bias_hh{sfx}", init, (gates * H,))
                 h0 = jnp.zeros((B, H), x.dtype)
                 if self.cell == "gru":
                     y = gru_scan(x, h0, w_ih, w_hh, b_ih, b_hh,

@@ -1,0 +1,7 @@
+from .logging import (collect_moe_metrics, save_expert_emotion,
+                      plot_expert_emotion_heatmaps, MaxVioLog,
+                      plot_confusion_matrix, compare_confusion_matrices)
+
+__all__ = ["collect_moe_metrics", "save_expert_emotion",
+           "plot_expert_emotion_heatmaps", "MaxVioLog",
+           "plot_confusion_matrix", "compare_confusion_matrices"]

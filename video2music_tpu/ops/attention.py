@@ -51,24 +51,47 @@ def lambda_init_fn(depth: int) -> float:
     return 0.8 - 0.6 * math.exp(-0.3 * depth)
 
 
-def dot_product_attention(q, k, v, *, bias=None, mask=None,
+def _use_pallas() -> bool:
+    import os
+    flag = os.environ.get("V2M_USE_PALLAS", "auto")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def dot_product_attention(q, k, v, *, bias=None, mask=None, causal=False,
                           dropout_rng=None, dropout_rate=0.0):
     """Core attention: q (B,H,L,D), k (B,Hk,S,D), v (B,Hv,S,D).
 
     Hk must equal H; Hv may divide H (GQA / differential pairing), in which
     case each group of H/Hv consecutive query heads shares one value head.
     ``bias`` is added to the scaled logits; ``mask`` is boolean
-    (True = may attend).
+    (True = may attend); ``causal=True`` is the structured form of the
+    causal mask and enables the fused Pallas kernel on TPU.
     """
     H, D = q.shape[1], q.shape[-1]
     Hv = v.shape[1]
     if Hv != H:
         v = jnp.repeat(v, H // Hv, axis=1)
+
+    # Fused Pallas path: full-sequence, no dropout, no irregular mask.
+    if (mask is None and dropout_rate == 0.0 and q.shape[2] > 1
+            and _use_pallas()):
+        from .pallas_attention import flash_attention
+        out = flash_attention(q, k, v, bias=bias, causal=causal)
+        return out, None
+
     logits = jnp.einsum("bhld,bhsd->bhls", q, k,
                         preferred_element_type=jnp.float32)
     logits = logits * (D ** -0.5)
     if bias is not None:
         logits = logits + bias
+    if causal:
+        L, S = logits.shape[-2:]
+        cmask = jnp.arange(S)[None, :] <= jnp.arange(L)[:, None] + (S - L)
+        logits = jnp.where(cmask[None, None], logits, NEG_INF)
     if mask is not None:
         logits = jnp.where(mask, logits, NEG_INF)
     weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
@@ -197,9 +220,9 @@ class MultiHeadAttention(nn.Module):
                 bias = rpr_bias_decode(q_scaled, er, decode_pos, kv_len)
 
         mask = None
+        causal_flag = False
         if mode == "full":
-            if causal:
-                mask = causal_mask(q.shape[2], kv_len)[None, None]
+            causal_flag = bool(causal)
         elif not self.is_cross:
             mask = (jnp.arange(kv_len) <= decode_pos)[None, None, None, :]
         # cross-attention at decode time attends all memory positions
@@ -210,7 +233,7 @@ class MultiHeadAttention(nn.Module):
             rate = self.dropout_rate
 
         attn, _ = dot_product_attention(
-            q, k, v, bias=bias, mask=mask,
+            q, k, v, bias=bias, mask=mask, causal=causal_flag,
             dropout_rng=dropout_rng, dropout_rate=rate)
 
         if diff:

@@ -118,7 +118,7 @@ class MoELayer(nn.Module):
     dropout_rate: float = 0.1
 
     @nn.compact
-    def __call__(self, x, deterministic=True):
+    def __call__(self, x, deterministic=True, emotion_ids=None):
         cfg = self.cfg
         E = cfg.n_experts
         gate = nn.Dense(E, name="gate")
@@ -193,5 +193,20 @@ class MoELayer(nn.Module):
         if not self.is_initializing():
             mean_c = jnp.maximum(jnp.mean(counts), 1e-6)
             maxvio.value = (jnp.max(counts) - mean_c) / mean_c
+
+        # expert-emotion attribution: per-(dominant emotion, expert)
+        # selection counts, eval only — the functional replacement for the
+        # global counters of third_party/log_experts.py:50-76 (hooked at
+        # moe.py:188,286). emotion_ids: (B, L') ints in [-1, 5].
+        if emotion_ids is not None:
+            ee = self.variable("metrics", "expert_emotion_counts",
+                               lambda: jnp.zeros((6, E), jnp.float32))
+            if deterministic and not self.is_initializing():
+                L = min(x.shape[1], emotion_ids.shape[1])
+                onehot = (emotion_ids[:, :L, None]
+                          == jnp.arange(6)[None, None, :])
+                ee.value = ee.value + jnp.einsum(
+                    "blc,ble->ce", onehot.astype(jnp.float32),
+                    selected[:, :L].astype(jnp.float32))
 
         return out
