@@ -1,0 +1,101 @@
+"""Native C++ parser parity vs the pure-Python parsers, + prefetch loader."""
+
+import os
+
+import numpy as np
+import pytest
+
+from video2music_tpu.core import constants as C
+from video2music_tpu.data import native as N
+from video2music_tpu.data import parsers as P
+from video2music_tpu.data.loader import PrefetchLoader
+
+pytestmark = pytest.mark.skipif(not N.available(),
+                                reason="native toolchain unavailable")
+
+CHORD_LAB = "key C major\n0 C\n1 A:min\n2 F\n3 G:7\n4 N\n"
+SCALAR_LAB = "0 0.5\n1 0.25\n2 1.0\n"
+EMOTION_LAB = ("time a b c d e f\n"
+               "0 0.7 0.1 0.05 0.05 0.05 0.05\n"
+               "1 0.1 0.1 0.1 0.6 0.05 0.05\n")
+INSTR_CSV = "\n".join(["h," * 39 + "h"] + [",".join(["1"] + ["0"] * 39)] * 3)
+
+
+def _write(tmp_path, name, content):
+    p = tmp_path / name
+    p.write_text(content)
+    return str(p)
+
+
+def test_chord_lab_parity(tmp_path):
+    p = _write(tmp_path, "c.lab", CHORD_LAB)
+    chord, root, attr, key, last = N.parse_chord_lab(p, 10)
+    pc, pr, pa, pkey, plast = P.parse_chord_lab(p, 10)
+    np.testing.assert_array_equal(chord, pc)
+    np.testing.assert_array_equal(root, pr)
+    np.testing.assert_array_equal(attr, pa)
+    assert key == (0 if "major" in pkey else 1)
+    assert last == plast
+
+
+def test_chord_lab_minor_key(tmp_path):
+    p = _write(tmp_path, "m.lab", "key A minor\n0 A:min\n")
+    *_ , key, last = N.parse_chord_lab(p, 10)
+    assert key == 1 and last == 0
+
+
+def test_scalar_lab_parity(tmp_path):
+    p = _write(tmp_path, "s.lab", SCALAR_LAB)
+    got = N.parse_scalar_lab(p, 6, pad=0.0, offset=1.0)
+    want = P.parse_scalar_lab(p, 6, pad=0.0, offset=1.0)
+    np.testing.assert_allclose(got, want)
+
+
+def test_emotion_lab_parity(tmp_path):
+    p = _write(tmp_path, "e.lab", EMOTION_LAB)
+    got = N.parse_emotion_lab(p, 5)
+    want = P.parse_emotion_lab(p, 5)
+    np.testing.assert_allclose(got, want)
+
+
+def test_instrument_csv_parity(tmp_path):
+    p = _write(tmp_path, "i.csv", INSTR_CSV)
+    got = N.parse_instrument_csv(p, 5)
+    want = P.parse_instrument_csv(p, 5)
+    np.testing.assert_allclose(got, want)
+
+
+def test_truncation(tmp_path):
+    p = _write(tmp_path, "t.lab", "0 C\n1 F\n2 G\n3 C\n")
+    chord, *_ , last = N.parse_chord_lab(p, 2)
+    assert chord.shape == (2,)
+    assert last == 1
+
+
+def test_missing_file_returns_none():
+    assert N.parse_scalar_lab("/nonexistent/x.lab", 5) is None
+
+
+class _SyntheticDS:
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        rng = np.random.default_rng(i)
+        return {"x": rng.standard_normal(4).astype(np.float32),
+                "idx": np.asarray([i])}
+
+
+def test_prefetch_loader_covers_dataset():
+    ds = _SyntheticDS(10)
+    loader = PrefetchLoader(ds, 4, shuffle=True, seed=0)
+    batches = list(loader)
+    assert len(batches) == 3
+    seen = sorted(int(i) for b in batches for i in b["idx"].ravel())
+    assert seen == list(range(10))
+    # second epoch reshuffles
+    batches2 = list(loader)
+    assert len(batches2) == 3

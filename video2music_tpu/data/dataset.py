@@ -53,9 +53,19 @@ def make_sample(*, chord_lab, chord_lab_no_norm, emotion_lab, motion_src,
                 motion_type: int = 0) -> Dict[str, np.ndarray]:
     """One sample from feature sources (paths or line lists), mirroring
     createSample (reference: vevo_dataset.py:241-554)."""
-    chord, root, attr, key_str, last_time = P.parse_chord_lab(
-        chord_lab, max_seq_chord)
-    key = np.asarray([0.0 if "major" in key_str else 1.0], np.float32)
+    native_ok = isinstance(chord_lab, (str, os.PathLike))
+    if native_ok:
+        from . import native as N
+        parsed = N.parse_chord_lab(str(chord_lab), max_seq_chord)
+    else:
+        parsed = None
+    if parsed is not None:
+        chord, root, attr, key_int, last_time = parsed
+        key = np.asarray([float(key_int)], np.float32)
+    else:
+        chord, root, attr, key_str, last_time = P.parse_chord_lab(
+            chord_lab, max_seq_chord)
+        key = np.asarray([0.0 if "major" in key_str else 1.0], np.float32)
     original_key = P.parse_chord_lab_key(chord_lab_no_norm)
     key_val = np.asarray([KEY_DIC.get(original_key, 0)], np.float32)
 
@@ -71,15 +81,37 @@ def make_sample(*, chord_lab, chord_lab_no_norm, emotion_lab, motion_src,
         tgt_root[last_time] = C.CHORD_ROOT_END
         tgt_attr[last_time] = C.CHORD_ATTR_END
 
-    scene_offset = P.parse_scalar_lab(scene_offset_lab, max_seq_video,
-                                      pad=C.SCENE_OFFSET_PAD, offset=1.0)
-    motion = P.load_motion(motion_src, max_seq_video, motion_type)
-    note_density = P.parse_scalar_lab(note_density_lab, max_seq_video,
-                                      pad=C.NOTE_DENSITY_PAD)
-    loudness = P.parse_scalar_lab(loudness_lab, max_seq_video,
-                                  pad=C.LOUDNESS_PAD)
-    emotion = P.parse_emotion_lab(emotion_lab, max_seq_video)
-    instrument = P.parse_instrument_csv(instrument_csv, max_seq_video)
+    def _scalar(src, pad, offset=0.0):
+        if isinstance(src, (str, os.PathLike)):
+            from . import native as N
+            got = N.parse_scalar_lab(str(src), max_seq_video, pad, offset)
+            if got is not None:
+                return got
+        return P.parse_scalar_lab(src, max_seq_video, pad=pad, offset=offset)
+
+    scene_offset = _scalar(scene_offset_lab, C.SCENE_OFFSET_PAD, 1.0)
+    if motion_type == 0 and isinstance(motion_src, (str, os.PathLike)):
+        motion = _scalar(motion_src, C.MOTION_PAD)
+    else:
+        motion = P.load_motion(motion_src, max_seq_video, motion_type)
+    note_density = _scalar(note_density_lab, C.NOTE_DENSITY_PAD)
+    loudness = _scalar(loudness_lab, C.LOUDNESS_PAD)
+    if isinstance(emotion_lab, (str, os.PathLike)):
+        from . import native as N
+        emotion = N.parse_emotion_lab(str(emotion_lab), max_seq_video)
+        if emotion is None:
+            emotion = P.parse_emotion_lab(emotion_lab, max_seq_video)
+    else:
+        emotion = P.parse_emotion_lab(emotion_lab, max_seq_video)
+    if isinstance(instrument_csv, (str, os.PathLike)):
+        from . import native as N
+        instrument = N.parse_instrument_csv(str(instrument_csv),
+                                            max_seq_video)
+        if instrument is None:
+            instrument = P.parse_instrument_csv(instrument_csv,
+                                                max_seq_video)
+    else:
+        instrument = P.parse_instrument_csv(instrument_csv, max_seq_video)
     semantic = (P.load_semantic_npy(semantic_npy, max_seq_video)
                 if isinstance(semantic_npy, (str, os.PathLike))
                 else np.asarray(semantic_npy, np.float32))

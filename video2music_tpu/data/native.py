@@ -1,0 +1,115 @@
+"""ctypes bindings for the C++ feature-file parsers (native/v2m_native.cpp).
+
+The shared library is built lazily with g++ on first use and cached next to
+the source; every entry point transparently falls back to the pure-Python
+parsers in ``data/parsers.py`` when the toolchain or library is unavailable,
+so the framework never hard-depends on the native path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..core import constants as C
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_SRC = os.path.abspath(os.path.join(_NATIVE_DIR, "v2m_native.cpp"))
+_SO = os.path.abspath(os.path.join(_NATIVE_DIR, "libv2m_native.so"))
+
+_lib = None
+_lock = threading.Lock()
+_build_failed = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    if _lib is not None or _build_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        try:
+            if (not os.path.exists(_SO)
+                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+                    check=True, capture_output=True)
+            lib = ctypes.CDLL(_SO)
+        except Exception:
+            _build_failed = True
+            return None
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.v2m_parse_scalar_lab.argtypes = [
+            ctypes.c_char_p, f32p, ctypes.c_int32, ctypes.c_float]
+        lib.v2m_parse_scalar_lab.restype = ctypes.c_int32
+        lib.v2m_parse_emotion_lab.argtypes = [
+            ctypes.c_char_p, f32p, ctypes.c_int32, ctypes.c_int32]
+        lib.v2m_parse_emotion_lab.restype = ctypes.c_int32
+        lib.v2m_parse_chord_lab.argtypes = [
+            ctypes.c_char_p, i64p, i64p, i64p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+        lib.v2m_parse_chord_lab.restype = ctypes.c_int32
+        lib.v2m_parse_instrument_csv.argtypes = [
+            ctypes.c_char_p, f32p, ctypes.c_int32, ctypes.c_int32]
+        lib.v2m_parse_instrument_csv.restype = ctypes.c_int32
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def parse_scalar_lab(path: str, max_seq: int, pad: float = 0.0,
+                     offset: float = 0.0) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.full(max_seq, pad, np.float32)
+    rc = lib.v2m_parse_scalar_lab(path.encode(), out, max_seq, offset)
+    return None if rc < 0 else out
+
+
+def parse_emotion_lab(path: str, max_seq: int,
+                      n_emotions: int = 6) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.full((max_seq, n_emotions), C.EMOTION_PAD, np.float32)
+    rc = lib.v2m_parse_emotion_lab(path.encode(), out, max_seq, n_emotions)
+    return None if rc < 0 else out
+
+
+def parse_chord_lab(path: str, max_seq: int
+                    ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                        int, int]]:
+    lib = _load()
+    if lib is None:
+        return None
+    chord = np.full(max_seq, C.CHORD_PAD, np.int64)
+    root = np.full(max_seq, C.CHORD_ROOT_PAD, np.int64)
+    attr = np.full(max_seq, C.CHORD_ATTR_PAD, np.int64)
+    key = ctypes.c_int32(0)
+    last = ctypes.c_int32(max_seq)
+    rc = lib.v2m_parse_chord_lab(path.encode(), chord, root, attr, max_seq,
+                                 ctypes.byref(key), ctypes.byref(last))
+    if rc < 0:
+        return None
+    return chord, root, attr, int(key.value), int(last.value)
+
+
+def parse_instrument_csv(path: str, max_seq: int) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.full((max_seq, C.INSTRUMENT_SIZE), C.INSTRUMENT_PAD, np.float32)
+    rc = lib.v2m_parse_instrument_csv(path.encode(), out, max_seq,
+                                      C.INSTRUMENT_SIZE)
+    return None if rc < 0 else out
