@@ -68,3 +68,23 @@ def test_selective_scan_pallas_parity(rng):
     want = selective_scan(*map(jnp.asarray, (x, delta, A, B, C, D)))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4,
                                atol=2e-4)
+
+
+def test_flash_attention_gradients(rng):
+    B, H, L, D = 1, 2, 20, 16
+    q = jnp.asarray(rng.standard_normal((B, H, L, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, L, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, L, D)), jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=True,
+                                       interpret=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference_attention(q, k, v, causal=True) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=2e-5)

@@ -67,7 +67,11 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float,
 
 def flash_attention(q, k, v, *, bias=None, causal: bool = False,
                     interpret: bool = False):
-    """Fused attention.
+    """Fused attention (differentiable).
+
+    Forward runs the Pallas kernel; backward rematerializes through the jnp
+    reference (custom VJP) — exact gradients at one extra forward's cost,
+    the standard flash-attention remat trade.
 
     Args:
       q: (B, H, L, D); k, v: (B, H, S, D) (same head count — do GQA
@@ -76,6 +80,53 @@ def flash_attention(q, k, v, *, bias=None, causal: bool = False,
     Returns:
       (B, H, L, D) attention output in q's dtype.
     """
+    if bias is None:
+        return _flash_nobias(q, k, v, causal, interpret)
+    return _flash_bias(q, k, v, bias, causal, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_nobias(q, k, v, causal, interpret):
+    return _flash_forward(q, k, v, None, causal, interpret)
+
+
+def _flash_nobias_fwd(q, k, v, causal, interpret):
+    return _flash_nobias(q, k, v, causal, interpret), (q, k, v)
+
+
+def _flash_nobias_bwd(causal, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: reference_attention(q_, k_, v_, causal=causal),
+        q, k, v)
+    return vjp(g)
+
+
+_flash_nobias.defvjp(_flash_nobias_fwd, _flash_nobias_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_bias(q, k, v, bias, causal, interpret):
+    return _flash_forward(q, k, v, bias, causal, interpret)
+
+
+def _flash_bias_fwd(q, k, v, bias, causal, interpret):
+    return _flash_bias(q, k, v, bias, causal, interpret), (q, k, v, bias)
+
+
+def _flash_bias_bwd(causal, interpret, res, g):
+    q, k, v, bias = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, b_: reference_attention(q_, k_, v_, bias=b_,
+                                                   causal=causal),
+        q, k, v, bias)
+    return vjp(g)
+
+
+_flash_bias.defvjp(_flash_bias_fwd, _flash_bias_bwd)
+
+
+def _flash_forward(q, k, v, bias, causal: bool, interpret: bool):
     B, H, L, D = q.shape
     S = k.shape[2]
     scale = D ** -0.5
