@@ -9,7 +9,8 @@ from video2music_tpu.core import constants as C
 from video2music_tpu.core.config import (RegressionConfig, TrainConfig,
                                          amt_config)
 from video2music_tpu.core.vocab import emotion_chord_targets
-from video2music_tpu.models import VideoMusicTransformer, VideoRegression
+from video2music_tpu.models import (MusicTransformer, VideoMusicTransformer,
+                                    VideoRegression)
 from video2music_tpu.parallel import (create_mesh, param_shardings,
                                       replicated, shard_batch)
 from video2music_tpu.train import (create_train_state, make_amt_eval_step,
@@ -174,3 +175,49 @@ def test_sharded_train_step_matches_single_device(rng):
     got_leaf = jax.tree_util.tree_leaves(got_state.params)[0]
     np.testing.assert_allclose(np.asarray(got_leaf), np.asarray(ref_leaf),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_music_transformer_train_step(rng):
+    from video2music_tpu.core.config import MusicTransformerConfig
+    from video2music_tpu.models import MusicTransformer
+    from video2music_tpu.train.step import (make_music_transformer_eval_step,
+                                            make_music_transformer_train_step,
+                                            music_transformer_init)
+
+    cfg = MusicTransformerConfig(n_layers=2, num_heads=2, d_model=16,
+                                 d_ff=32, max_seq_chord=12, dropout=0.0)
+    model = MusicTransformer(cfg=cfg)
+    tcfg = TrainConfig(optimizer="adam", lr=1e-3)
+    tx = make_optimizer(tcfg, d_model=16)
+    batch = _amt_batch(rng)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch,
+                               init_fn=music_transformer_init)
+    step = jax.jit(make_music_transformer_train_step(model, tx, tcfg))
+    state, first = step(state, batch)
+    for _ in range(10):
+        state, last = step(state, batch)
+    assert float(last["loss"]) < float(first["loss"])
+    ev = jax.jit(make_music_transformer_eval_step(model, tcfg))
+    m = ev(state.params, {}, batch)
+    assert np.isfinite(float(m["accuracy"]))
+
+
+def test_amt_separated_train_step(rng):
+    model = VideoMusicTransformer(cfg=amt_config(
+        None, n_layers=2, num_heads=2, d_model=16, d_ff=32,
+        max_seq_video=12, max_seq_chord=12,
+        total_vf_dim=VF["sem"] + 1 + 1 + VF["emo"], dropout=0.0,
+        separated=True))
+    tcfg = TrainConfig(optimizer="adam", lr=1e-3)
+    tx = make_optimizer(tcfg, d_model=16)
+    batch = _amt_batch(rng)
+    batch["tgt_root"] = jnp.asarray(
+        np.random.default_rng(3).integers(0, 13, batch["tgt"].shape))
+    batch["tgt_attr"] = jnp.asarray(
+        np.random.default_rng(4).integers(0, 14, batch["tgt"].shape))
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    step = jax.jit(make_amt_train_step(model, tx, tcfg))
+    state, first = step(state, batch)
+    for _ in range(8):
+        state, last = step(state, batch)
+    assert float(last["loss"]) < float(first["loss"])

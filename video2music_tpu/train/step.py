@@ -97,8 +97,25 @@ def amt_loss(logits, batch, tcfg: TrainConfig, rng=None):
     return total, (loss_chord, loss_emotion)
 
 
+def amt_separated_loss(logits_root, logits_attr, batch, tcfg: TrainConfig):
+    """IS_SEPERATED path: CE(root) + CE(attr), no emotion term
+    (reference: run_model_vevo.py:49-78)."""
+    lr_ = combined_chord_loss(
+        logits_root, batch["tgt_root"], vocab_size=C.CHORD_ROOT_SIZE,
+        ignore_index=C.CHORD_ROOT_PAD,
+        label_smoothing=(tcfg.ce_smoothing or 0.0),
+        auxiliary=tcfg.auxiliary_loss)
+    la_ = combined_chord_loss(
+        logits_attr, batch["tgt_attr"], vocab_size=C.CHORD_ATTR_SIZE,
+        ignore_index=C.CHORD_ATTR_PAD,
+        label_smoothing=(tcfg.ce_smoothing or 0.0),
+        auxiliary=tcfg.auxiliary_loss)
+    return lr_ + la_
+
+
 def make_amt_train_step(model, tx, tcfg: TrainConfig, drop_loss: bool = False):
     """Returns jittable ``train_step(state, batch) -> (state, metrics)``."""
+    separated = getattr(model.cfg, "separated", False)
 
     def train_step(state: TrainState, batch):
         rng, d_rng, l_rng = jax.random.split(state.rng, 3)
@@ -107,8 +124,12 @@ def make_amt_train_step(model, tx, tcfg: TrainConfig, drop_loss: bool = False):
             logits, mutated = _amt_forward(
                 model, params, state.moe_state, batch,
                 deterministic=False, rngs={"dropout": d_rng})
-            total, (lc, le) = amt_loss(
-                logits, batch, tcfg, rng=(l_rng if drop_loss else None))
+            if separated:
+                total = amt_separated_loss(logits[0], logits[1], batch, tcfg)
+                lc, le = total, jnp.asarray(-1.0)
+            else:
+                total, (lc, le) = amt_loss(
+                    logits, batch, tcfg, rng=(l_rng if drop_loss else None))
             return total, (lc, le, mutated)
 
         grads, (lc, le, mutated) = jax.grad(
@@ -144,6 +165,64 @@ def make_amt_eval_step(model, tcfg: TrainConfig):
             "correspondence": M.compute_vevo_correspondence(
                 logits, batch["tgt"], batch["tgt_emotion"],
                 batch["tgt_emotion_prob"]),
+        }
+
+    return eval_step
+
+
+# ---------------------------------------------------------------------------
+# MusicTransformer (no-video baseline, reference: run_model_vevo.py:135-180)
+# ---------------------------------------------------------------------------
+
+def music_transformer_init(model, rngs, batch):
+    return model.init(rngs, batch["x"], batch["x_root"], batch["x_attr"],
+                      batch["key"])
+
+
+def make_music_transformer_train_step(model, tx, tcfg: TrainConfig):
+    """Chord-only CE loss (no emotion term, reference :171-175)."""
+
+    def train_step(state: TrainState, batch):
+        rng, d_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            logits = model.apply(
+                {"params": params}, batch["x"], batch["x_root"],
+                batch["x_attr"], batch["key"], deterministic=False,
+                rngs={"dropout": d_rng})
+            loss = combined_chord_loss(
+                logits, batch["tgt"], vocab_size=C.CHORD_SIZE,
+                ignore_index=C.CHORD_PAD,
+                label_smoothing=(tcfg.ce_smoothing or 0.0),
+                auxiliary=tcfg.auxiliary_loss)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state, rng=rng), {"loss": loss}
+
+    return train_step
+
+
+def make_music_transformer_eval_step(model, tcfg: TrainConfig):
+    def eval_step(params, moe_state, batch):
+        del moe_state
+        logits = model.apply({"params": params}, batch["x"],
+                             batch["x_root"], batch["x_attr"], batch["key"],
+                             deterministic=True)
+        loss = combined_chord_loss(
+            logits, batch["tgt"], vocab_size=C.CHORD_SIZE,
+            ignore_index=C.CHORD_PAD,
+            label_smoothing=(tcfg.ce_smoothing or 0.0),
+            auxiliary=tcfg.auxiliary_loss)
+        return {
+            "loss": loss,
+            "accuracy": M.compute_vevo_accuracy(logits, batch["tgt"]),
+            "hits@1": M.compute_hits_k(logits, batch["tgt"], 1),
+            "hits@3": M.compute_hits_k(logits, batch["tgt"], 3),
+            "hits@5": M.compute_hits_k(logits, batch["tgt"], 5),
         }
 
     return eval_step
