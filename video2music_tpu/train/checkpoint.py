@@ -39,23 +39,25 @@ def save_checkpoint(path: str, state, *, params_only: bool = False,
 
 def restore_checkpoint(path: str, target_state):
     """Restore into the structure of ``target_state`` (a freshly created
-    TrainState). Weights-only checkpoints restore params and keep the rest
-    of the target."""
+    TrainState). Falls back to params-only when the stored optimizer/step
+    structure doesn't match the target (e.g. weights-only checkpoints, or
+    eval restoring a state trained with a different optimizer)."""
     p = _path(path)
-    with ocp.StandardCheckpointer() as ckptr:
-        meta = ckptr.metadata(p)
-        names = set(meta.item_metadata.keys()) if hasattr(
-            meta, "item_metadata") else None
-        full = {"params": target_state.params,
-                "moe_state": target_state.moe_state,
-                "opt_state": target_state.opt_state,
-                "step": target_state.step}
-        try:
+    full = {"params": target_state.params,
+            "moe_state": target_state.moe_state,
+            "opt_state": target_state.opt_state,
+            "step": target_state.step}
+    try:
+        with ocp.StandardCheckpointer() as ckptr:
             restored = ckptr.restore(p, full)
-            return target_state.replace(**restored)
-        except Exception:
-            restored = ckptr.restore(p, {"params": target_state.params})
-            return target_state.replace(params=restored["params"])
+        return target_state.replace(**restored)
+    except Exception:
+        with ocp.PyTreeCheckpointer() as ckptr:
+            restored = ckptr.restore(
+                p, args=ocp.args.PyTreeRestore(
+                    item={"params": target_state.params},
+                    partial_restore=True))
+        return target_state.replace(params=restored["params"])
 
 
 def load_params(path: str, params_like):
