@@ -207,7 +207,8 @@ class Video2music:
                  *, features: Optional[Dict[str, np.ndarray]] = None,
                  output_dir: str = "./output", seed: int = 0,
                  correct_panning: bool = False,
-                 sound_font: Optional[str] = None) -> GenerateResult:
+                 sound_font: Optional[str] = None,
+                 compute_dtype: str = "bfloat16") -> GenerateResult:
         os.makedirs(output_dir, exist_ok=True)
         if features is None:
             if video is None:
@@ -235,8 +236,17 @@ class Video2music:
         P = len(primer_ids)
         pad_primer = lambda a, pad: np.concatenate(
             [a, np.full(L - len(a), pad, np.int32)])[None]
+        # TPU inference default: bf16 weights/activations (matmuls on the
+        # MXU at full rate), fp32 softmax inside the sampler. Pass
+        # compute_dtype="float32" for bit-parity with training.
+        variables, reg_variables = self.variables, self.reg_variables
+        if compute_dtype == "bfloat16":
+            cast = lambda t: jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, t)
+            variables, reg_variables = cast(variables), cast(reg_variables)
         out = self._jitted_generate(gcfg, P)(
-            self.variables, self.reg_variables,
+            variables, reg_variables,
             dict(semantic=jnp.asarray(semantic)[None],
                  key=jnp.asarray([[key_feature]], jnp.float32),
                  scene_offset=jnp.asarray(scene_offset)[None],
@@ -250,8 +260,8 @@ class Video2music:
             jax.random.PRNGKey(seed))
 
         chord_ids = np.asarray(out["gen_seq"][0])[:n_sec]
-        ln_nd = np.asarray(out["ln_nd"][0])[:n_sec]
-        inst_probs = np.asarray(out["instrument"][0])[:n_sec]
+        ln_nd = np.asarray(out["ln_nd"][0], np.float32)[:n_sec]
+        inst_probs = np.asarray(out["instrument"][0], np.float32)[:n_sec]
 
         # post-processing (reference: video2music.py:849-933)
         note_density = np.clip(np.round(ln_nd[:, 0]), 0, 40).astype(int)
