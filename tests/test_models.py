@@ -102,3 +102,29 @@ def test_regression_backbones(rng, backbone):
     assert inst.shape == (B, L, C.INSTRUMENT_SIZE)
     assert np.all(np.isfinite(np.asarray(reg)))
     assert np.all((np.asarray(inst) >= 0) & (np.asarray(inst) <= 1))
+
+
+def test_amt_gqa_variant(rng):
+    """kv_heads knob: grouped-query attention end to end (the reference
+    ships MultiheadGQA but never wires it; here it's config-reachable)."""
+    cfg = amt_config("2.2", n_layers=2, num_heads=4, d_model=16, d_ff=32,
+                     max_seq_video=12, max_seq_chord=12, total_vf_dim=11,
+                     dropout=0.0, kv_heads=2)
+    assert cfg.decoder_layers[0].attn.kv_heads == 2
+    assert cfg.decoder_layers[0].cross_attn.kv_heads == 2
+    model = VideoMusicTransformer(cfg=cfg)
+    batch = _amt_batch(rng)
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["x"], batch["x_root"], batch["x_attr"],
+        batch["semantic"], batch["key"], batch["scene_offset"],
+        batch["motion"], batch["emotion"])
+    out, _ = model.apply(variables, batch["x"], batch["x_root"],
+                         batch["x_attr"], batch["semantic"], batch["key"],
+                         batch["scene_offset"], batch["motion"],
+                         batch["emotion"], mutable=["moe_state", "metrics"])
+    assert out.shape == (2, 11, C.CHORD_SIZE)
+    assert np.isfinite(np.asarray(out)).all()
+    # KV projections actually smaller than Q
+    kshape = variables["params"]["dec_0"]["self_attn"]["k_proj"]["kernel"].shape
+    qshape = variables["params"]["dec_0"]["self_attn"]["q_proj"]["kernel"].shape
+    assert kshape[1] == qshape[1] // 2

@@ -89,6 +89,12 @@ class AMTConfig:
     chord_embed_dim: int = 512
     drop_token_rate: float = 0.0
     separated: bool = False  # IS_SEPERATED: separate root/attr heads
+    # Grouped-query attention: number of KV heads for every attention in the
+    # model (None = MHA). The reference ships MultiheadGQA as a library
+    # module but never wires it into a model
+    # (reference: model/grouped_query_attention.py; import-only at
+    # video_music_transformer.py:12) — here it is a first-class knob.
+    kv_heads: Optional[int] = None
     moe: MoEConfig = MoEConfig()
     encoder_layers: Tuple[LayerSpec, ...] = ()
     decoder_layers: Tuple[LayerSpec, ...] = ()
@@ -108,6 +114,17 @@ def _shallow_deep(shallow: LayerSpec, deep: LayerSpec, n: int):
     we clamp so shrunken test configs still get at least one deep layer."""
     rate = min(3, max(0, n - 1))
     return tuple(shallow for _ in range(rate)) + tuple(deep for _ in range(n - rate))
+
+
+def _apply_kv_heads(cfg: AMTConfig) -> AMTConfig:
+    if cfg.kv_heads is None:
+        return cfg
+    fix = lambda a: replace(a, kv_heads=cfg.kv_heads) if a else a
+    fix_spec = lambda s: replace(s, attn=fix(s.attn),
+                                 cross_attn=fix(s.cross_attn))
+    return replace(cfg,
+                   encoder_layers=tuple(map(fix_spec, cfg.encoder_layers)),
+                   decoder_layers=tuple(map(fix_spec, cfg.decoder_layers)))
 
 
 def amt_config(version: Optional[str] = None, **overrides) -> AMTConfig:
@@ -132,9 +149,10 @@ def amt_config(version: Optional[str] = None, **overrides) -> AMTConfig:
         dec_cross = AttentionConfig(num_heads=cfg.num_heads)
         enc = LayerSpec(attn=enc_attn, ffn="relu_mlp")
         dec = LayerSpec(attn=dec_self, ffn="relu_mlp", cross_attn=dec_cross)
-        return replace(cfg, pos_encoding="sinusoidal",
-                       encoder_layers=_uniform(enc, n),
-                       decoder_layers=_uniform(dec, n))
+        return _apply_kv_heads(replace(
+            cfg, pos_encoding="sinusoidal",
+            encoder_layers=_uniform(enc, n),
+            decoder_layers=_uniform(dec, n)))
 
     if version.startswith("1."):
         # V1: custom encoder+decoder, learned pos emb, MoE FFN everywhere
@@ -154,8 +172,9 @@ def amt_config(version: Optional[str] = None, **overrides) -> AMTConfig:
         else:
             enc_layers = _uniform(replace(moe_layer, cross_attn=None), n)
             dec_layers = _uniform(moe_layer, n)
-        return replace(cfg, pos_encoding="learned", moe=moe,
-                       encoder_layers=enc_layers, decoder_layers=dec_layers)
+        return _apply_kv_heads(replace(
+            cfg, pos_encoding="learned", moe=moe,
+            encoder_layers=enc_layers, decoder_layers=dec_layers))
 
     if version.startswith("2."):
         # V2: 3 shallow SwiGLU + 3 deep SharedMoE layers; learned pos emb for
@@ -169,12 +188,12 @@ def amt_config(version: Optional[str] = None, **overrides) -> AMTConfig:
                         topk_schedule=(version != "2.2"))
         shallow = LayerSpec(attn=att, ffn="swiglu", cross_attn=att)
         deep = LayerSpec(attn=att, ffn="moe", cross_attn=att)
-        return replace(
+        return _apply_kv_heads(replace(
             cfg, pos_encoding=("learned" if version == "2.0" else "none"),
             moe=moe,
             encoder_layers=_shallow_deep(replace(shallow, cross_attn=None),
                                          replace(deep, cross_attn=None), n),
-            decoder_layers=_shallow_deep(shallow, deep, n))
+            decoder_layers=_shallow_deep(shallow, deep, n)))
 
     if version.startswith("3."):
         # V3: RMSNorm, RoPE, differential attention (everywhere for 3.1/3.2,
@@ -190,10 +209,11 @@ def amt_config(version: Optional[str] = None, **overrides) -> AMTConfig:
         enc_deep = LayerSpec(attn=enc_att, ffn="moe")
         dec_shallow = LayerSpec(attn=diff, ffn="swiglu", cross_attn=diff)
         dec_deep = LayerSpec(attn=diff, ffn="moe", cross_attn=diff)
-        return replace(cfg, pos_encoding="none", norm="rmsnorm",
-                       pre_norm=pre_norm, moe=moe,
-                       encoder_layers=_shallow_deep(enc_shallow, enc_deep, n),
-                       decoder_layers=_shallow_deep(dec_shallow, dec_deep, n))
+        return _apply_kv_heads(replace(
+            cfg, pos_encoding="none", norm="rmsnorm",
+            pre_norm=pre_norm, moe=moe,
+            encoder_layers=_shallow_deep(enc_shallow, enc_deep, n),
+            decoder_layers=_shallow_deep(dec_shallow, dec_deep, n)))
 
     raise ValueError(f"unknown AMT version: {version!r}")
 
@@ -272,3 +292,6 @@ class TrainConfig:
     seed: int = 0
     # Mesh axis sizes; data-parallel x model-parallel (1,1 = single chip).
     mesh_shape: Tuple[int, int] = (1, 1)
+    # bf16 forward/backward with f32 master weights + f32 optimizer state
+    # (losses already reduce in f32). The reference trains pure f32.
+    mixed_precision: bool = False

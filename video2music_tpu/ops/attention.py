@@ -65,16 +65,17 @@ def dot_product_attention(q, k, v, *, bias=None, mask=None, causal=False,
                           dropout_rng=None, dropout_rate=0.0):
     """Core attention: q (B,H,L,D), k (B,Hk,S,D), v (B,Hv,S,D).
 
-    Hk must equal H; Hv may divide H (GQA / differential pairing), in which
-    case each group of H/Hv consecutive query heads shares one value head.
-    ``bias`` is added to the scaled logits; ``mask`` is boolean
+    Hk and Hv may divide H (GQA / differential pairing), in which case each
+    group of H/Hk (H/Hv) consecutive query heads shares one key (value)
+    head. ``bias`` is added to the scaled logits; ``mask`` is boolean
     (True = may attend); ``causal=True`` is the structured form of the
     causal mask and enables the fused Pallas kernel on TPU.
     """
     H, D = q.shape[1], q.shape[-1]
-    Hv = v.shape[1]
-    if Hv != H:
-        v = jnp.repeat(v, H // Hv, axis=1)
+    if k.shape[1] != H:
+        k = jnp.repeat(k, H // k.shape[1], axis=1)
+    if v.shape[1] != H:
+        v = jnp.repeat(v, H // v.shape[1], axis=1)
 
     # Fused Pallas path: full-sequence, no dropout, no irregular mask.
     if (mask is None and dropout_rate == 0.0 and q.shape[2] > 1

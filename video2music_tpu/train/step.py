@@ -66,6 +66,16 @@ def create_train_state(model, tx, rng, sample_batch,
                       rng=s_rng)
 
 
+def _maybe_bf16(params, tcfg: TrainConfig):
+    """Mixed precision: run fwd/bwd in bf16 off f32 master weights. The cast
+    is differentiable, so jax.grad still yields f32 gradients."""
+    if not tcfg.mixed_precision:
+        return params
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 else x, params)
+
+
 def _amt_forward(model, params, moe_state, batch, *, deterministic, rngs):
     variables = {"params": params, "moe_state": moe_state}
     out, mutated = model.apply(
@@ -122,7 +132,7 @@ def make_amt_train_step(model, tx, tcfg: TrainConfig, drop_loss: bool = False):
 
         def loss_fn(params):
             logits, mutated = _amt_forward(
-                model, params, state.moe_state, batch,
+                model, _maybe_bf16(params, tcfg), state.moe_state, batch,
                 deterministic=False, rngs={"dropout": d_rng})
             if separated:
                 total = amt_separated_loss(logits[0], logits[1], batch, tcfg)
@@ -187,7 +197,8 @@ def make_music_transformer_train_step(model, tx, tcfg: TrainConfig):
 
         def loss_fn(params):
             logits = model.apply(
-                {"params": params}, batch["x"], batch["x_root"],
+                {"params": _maybe_bf16(params, tcfg)},
+                batch["x"], batch["x_root"],
                 batch["x_attr"], batch["key"], deterministic=False,
                 rngs={"dropout": d_rng})
             loss = combined_chord_loss(
@@ -262,8 +273,8 @@ def make_regression_train_step(model, tx, tcfg: TrainConfig):
 
         def loss_fn(params):
             (ln_nd, inst), mutated = _reg_forward(
-                model, params, state.moe_state, batch, deterministic=False,
-                rngs={"dropout": d_rng})
+                model, _maybe_bf16(params, tcfg), state.moe_state, batch,
+                deterministic=False, rngs={"dropout": d_rng})
             total, (reg, cls) = regression_loss(ln_nd, inst, batch)
             return total, (reg, cls, mutated)
 
