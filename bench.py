@@ -77,11 +77,13 @@ def bench_cached(model, variables, feats, n_iters=3):
             rng=jax.random.PRNGKey(seed), gcfg=gcfg)
 
     jitted = jax.jit(run)
-    jax.block_until_ready(jitted(variables, feats, 0))  # compile
+    np.asarray(jitted(variables, feats, 0)["gen_seq"])  # compile + sync
     t0 = time.perf_counter()
     for i in range(n_iters):
         out = jitted(variables, feats, i + 1)
-    jax.block_until_ready(out)
+        # full host materialization — block_until_ready alone under-reports
+        # through the remote-TPU tunnel
+        np.asarray(out["gen_seq"])
     return (time.perf_counter() - t0) / n_iters
 
 
