@@ -160,14 +160,16 @@ class MultiHeadAttention(nn.Module):
                 k = apply_rope(k, max_len=self.max_cache_len)
             return k, v
 
+        # KV caches live in the computation dtype (bf16 under bf16 weights):
+        # per-step cache traffic dominates decode, so halving it matters.
         if mode == "prime":
             assert self.is_cross, "prime mode only applies to cross-attention"
             k, v = project_kv(key_value)
             B = key_value.shape[0]
-            ck = self.variable("cache", "k", jnp.zeros, k.shape, jnp.float32)
-            cv = self.variable("cache", "v", jnp.zeros, v.shape, jnp.float32)
-            ck.value = k.astype(jnp.float32)
-            cv.value = v.astype(jnp.float32)
+            ck = self.variable("cache", "k", jnp.zeros, k.shape, k.dtype)
+            cv = self.variable("cache", "v", jnp.zeros, v.shape, v.dtype)
+            ck.value = k
+            cv.value = v
             return None
 
         # --- query path ---
@@ -183,28 +185,28 @@ class MultiHeadAttention(nn.Module):
         elif self.is_cross:  # step: read primed memory K/V
             ck = self.variable("cache", "k", jnp.zeros,
                                (query.shape[0], k_heads, self.max_cache_len, hd),
-                               jnp.float32)
+                               query.dtype)
             cv = self.variable("cache", "v", jnp.zeros,
                                (query.shape[0], kv_heads, self.max_cache_len, hd),
-                               jnp.float32)
+                               query.dtype)
             k = ck.value.astype(query.dtype)
             v = cv.value.astype(query.dtype)
         else:  # step: self-attention, append at decode_pos
             B = query.shape[0]
             S = self.max_cache_len
             ck = self.variable("cache", "k", jnp.zeros, (B, k_heads, S, hd),
-                               jnp.float32)
+                               query.dtype)
             cv = self.variable("cache", "v", jnp.zeros, (B, kv_heads, S, hd),
-                               jnp.float32)
+                               query.dtype)
             k_new = split_heads(k_proj(query), k_heads)
             v_new = split_heads(v_proj(query), kv_heads)
             if cfg.rope:
                 k_new = apply_rope(k_new, positions=jnp.asarray(decode_pos)[None],
                                    max_len=self.max_cache_len)
             ck.value = jax.lax.dynamic_update_slice(
-                ck.value, k_new.astype(jnp.float32), (0, 0, decode_pos, 0))
+                ck.value, k_new.astype(ck.value.dtype), (0, 0, decode_pos, 0))
             cv.value = jax.lax.dynamic_update_slice(
-                cv.value, v_new.astype(jnp.float32), (0, 0, decode_pos, 0))
+                cv.value, v_new.astype(cv.value.dtype), (0, 0, decode_pos, 0))
             k = ck.value.astype(query.dtype)
             v = cv.value.astype(query.dtype)
         kv_len = k.shape[2]
