@@ -132,9 +132,10 @@ def main():
     model, variables, feats = _build()
     # inference runs in bf16 (fp32 softmax inside the sampler); BOTH paths
     # get the same treatment so the comparison stays algorithmic
-    variables = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-        variables)
+    cast = lambda t: jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t)
+    variables = cast(variables)
+    feats = cast(feats)  # f32 inputs would promote bf16 kernels back to f32
     ours = bench_cached(model, variables, feats)
     base = bench_reference_style(model, variables, feats)
     tokens_per_s = 300.0 / ours

@@ -117,13 +117,17 @@ class VideoMusicTransformer(nn.Module):
                      deterministic=True):
         """Concat video features -> (B, L, d_model) (reference :1003-1024)."""
         cfg = self.cfg
-        feats = [semantic.astype(jnp.float32)]
+        # float dtype follows `semantic` (bf16 under mixed precision /
+        # bf16 inference); int-typed inputs are promoted to it
+        dt = semantic.dtype if jnp.issubdtype(semantic.dtype,
+                                              jnp.floating) else jnp.float32
+        feats = [semantic.astype(dt)]
         if not cfg.scene_embed:
-            feats.append(scene_offset[..., None].astype(jnp.float32))
+            feats.append(scene_offset[..., None].astype(dt))
         if motion.ndim == 2:
             motion = motion[..., None]
-        feats.append(motion.astype(jnp.float32))
-        feats.append(emotion.astype(jnp.float32))
+        feats.append(motion.astype(dt))
+        feats.append(emotion.astype(dt))
         vf_concat = jnp.concatenate(feats, axis=-1)
         vf = self.linear_vis(vf_concat)
         if cfg.scene_embed:

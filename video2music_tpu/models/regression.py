@@ -123,10 +123,11 @@ class VideoRegression(nn.Module):
     def __call__(self, semantic, scene_offset, motion, emotion,
                  deterministic: bool = True):
         cfg = self.cfg
+        dt = semantic.dtype if jnp.issubdtype(semantic.dtype,
+                                              jnp.floating) else jnp.float32
         # live-path features: semantic + emotion only (reference :208-224)
         vf = jnp.concatenate(
-            [semantic.astype(jnp.float32), emotion.astype(jnp.float32)],
-            axis=-1)
+            [semantic.astype(dt), emotion.astype(dt)], axis=-1)
         vf = nn.Dense(cfg.d_model, name="in_proj")(vf)
         vf = nn.Dropout(cfg.dropout)(vf, deterministic=deterministic)
         out = self._backbone()(vf, deterministic=deterministic)

@@ -240,18 +240,20 @@ class Video2music:
         # MXU at full rate), fp32 softmax inside the sampler. Pass
         # compute_dtype="float32" for bit-parity with training.
         variables, reg_variables = self.variables, self.reg_variables
+        feat_dt = jnp.float32
         if compute_dtype == "bfloat16":
             cast = lambda t: jax.tree_util.tree_map(
                 lambda x: x.astype(jnp.bfloat16)
                 if x.dtype == jnp.float32 else x, t)
             variables, reg_variables = cast(variables), cast(reg_variables)
+            feat_dt = jnp.bfloat16  # f32 inputs would promote kernels back
         out = self._jitted_generate(gcfg, P)(
             variables, reg_variables,
-            dict(semantic=jnp.asarray(semantic)[None],
-                 key=jnp.asarray([[key_feature]], jnp.float32),
-                 scene_offset=jnp.asarray(scene_offset)[None],
-                 motion=jnp.asarray(motion)[None],
-                 emotion=jnp.asarray(emotion)[None],
+            dict(semantic=jnp.asarray(semantic, feat_dt)[None],
+                 key=jnp.asarray([[key_feature]], feat_dt),
+                 scene_offset=jnp.asarray(scene_offset, feat_dt)[None],
+                 motion=jnp.asarray(motion, feat_dt)[None],
+                 emotion=jnp.asarray(emotion, feat_dt)[None],
                  primer=jnp.asarray(pad_primer(primer_ids, C.CHORD_PAD)),
                  primer_root=jnp.asarray(
                      pad_primer(primer_roots, C.CHORD_ROOT_PAD)),

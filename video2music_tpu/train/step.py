@@ -66,14 +66,32 @@ def create_train_state(model, tx, rng, sample_batch,
                       rng=s_rng)
 
 
-def _maybe_bf16(params, tcfg: TrainConfig):
-    """Mixed precision: run fwd/bwd in bf16 off f32 master weights. The cast
-    is differentiable, so jax.grad still yields f32 gradients."""
-    if not tcfg.mixed_precision:
-        return params
+def _cast_bf16(tree):
     return jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
-        if x.dtype == jnp.float32 else x, params)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
+
+
+def _maybe_bf16(params, tcfg: TrainConfig):
+    """Mixed precision: run fwd/bwd in bf16 off f32 master weights. The cast
+    is differentiable, so jax.grad still yields f32 gradients.
+
+    NOTE: float batch inputs must be cast too (see _maybe_bf16_batch) —
+    flax Dense promotes a bf16 kernel back to f32 when the input is f32,
+    silently undoing the savings."""
+    if not tcfg.mixed_precision:
+        return params
+    return _cast_bf16(params)
+
+
+def _maybe_bf16_batch(batch, tcfg: TrainConfig):
+    if not tcfg.mixed_precision:
+        return batch
+    # targets stay f32 — losses reduce in f32
+    keep = {"tgt", "tgt_root", "tgt_attr", "tgt_emotion",
+            "tgt_emotion_prob", "note_density", "loudness", "instrument"}
+    return {k: (v if k in keep else _cast_bf16(v))
+            for k, v in batch.items()}
 
 
 def _amt_forward(model, params, moe_state, batch, *, deterministic, rngs):
@@ -132,7 +150,8 @@ def make_amt_train_step(model, tx, tcfg: TrainConfig, drop_loss: bool = False):
 
         def loss_fn(params):
             logits, mutated = _amt_forward(
-                model, _maybe_bf16(params, tcfg), state.moe_state, batch,
+                model, _maybe_bf16(params, tcfg), state.moe_state,
+                _maybe_bf16_batch(batch, tcfg),
                 deterministic=False, rngs={"dropout": d_rng})
             if separated:
                 total = amt_separated_loss(logits[0], logits[1], batch, tcfg)
