@@ -221,3 +221,20 @@ def test_amt_separated_train_step(rng):
     for _ in range(8):
         state, last = step(state, batch)
     assert float(last["loss"]) < float(first["loss"])
+
+
+def test_remat_attention_matches(rng):
+    """remat_attention must not change values or gradients."""
+    batch = _amt_batch(rng)
+    tcfg = TrainConfig(optimizer="adam", lr=1e-3)
+    tx = make_optimizer(tcfg, d_model=16)
+    outs = []
+    for remat in (False, True):
+        model = _tiny_amt(remat_attention=remat)
+        state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+        step = jax.jit(make_amt_train_step(model, tx, tcfg))
+        state, m = step(state, batch)
+        outs.append((float(m["loss"]),
+                     np.asarray(jax.tree_util.tree_leaves(state.params)[0])))
+    assert outs[0][0] == outs[1][0]
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-6)

@@ -95,6 +95,12 @@ class AMTConfig:
     # (reference: model/grouped_query_attention.py; import-only at
     # video_music_transformer.py:12) — here it is a first-class knob.
     kv_heads: Optional[int] = None
+    # Recompute attention probabilities in the backward pass instead of
+    # saving the (B, H, L, S) f32 tensors — the train step is HBM-bound on
+    # exactly those saves (measured ~5-10% step win + large activation
+    # memory cut at B=16 full size). Dropout masks regenerate exactly
+    # (deterministic given the rng), so gradients are unchanged.
+    remat_attention: bool = False
     moe: MoEConfig = MoEConfig()
     encoder_layers: Tuple[LayerSpec, ...] = ()
     decoder_layers: Tuple[LayerSpec, ...] = ()

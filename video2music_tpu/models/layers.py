@@ -77,7 +77,8 @@ class EncoderLayer(nn.Module):
         self.self_attn = MultiHeadAttention(
             cfg=self.spec.attn, d_model=self.cfg.d_model,
             dropout_rate=self.cfg.dropout, depth=self.depth,
-            max_cache_len=self.cfg.max_seq_video, name="self_attn")
+            max_cache_len=self.cfg.max_seq_video,
+            remat=self.cfg.remat_attention, name="self_attn")
         self.ffn = make_ffn(self.spec, self.cfg, "ffn")
         self.norm1 = make_norm(self.cfg.norm, self.cfg.d_model)
         self.norm2 = make_norm(self.cfg.norm, self.cfg.d_model)
@@ -116,11 +117,13 @@ class DecoderLayer(nn.Module):
         self.self_attn = MultiHeadAttention(
             cfg=self.spec.attn, d_model=self.cfg.d_model,
             dropout_rate=self.cfg.dropout, depth=self.depth,
-            max_cache_len=self.cfg.max_seq_chord, name="self_attn")
+            max_cache_len=self.cfg.max_seq_chord,
+            remat=self.cfg.remat_attention, name="self_attn")
         self.cross_attn = MultiHeadAttention(
             cfg=cross_spec, d_model=self.cfg.d_model, is_cross=True,
             dropout_rate=self.cfg.dropout, depth=self.depth,
-            max_cache_len=self.cfg.max_seq_video, name="cross_attn")
+            max_cache_len=self.cfg.max_seq_video,
+            remat=self.cfg.remat_attention, name="cross_attn")
         self.ffn = make_ffn(self.spec, self.cfg, "ffn")
         self.norm1 = make_norm(self.cfg.norm, self.cfg.d_model)
         self.norm2 = make_norm(self.cfg.norm, self.cfg.d_model)

@@ -31,6 +31,7 @@ causality). We perform the correct transpose-then-reshape.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -129,6 +130,7 @@ class MultiHeadAttention(nn.Module):
     dropout_rate: float = 0.0
     depth: int = 0  # layer index, used by differential lambda init
     max_cache_len: int = 300
+    remat: bool = False  # checkpoint the attention core (see AMTConfig)
 
     @nn.compact
     def __call__(self, query, key_value=None, *, causal=False,
@@ -235,9 +237,16 @@ class MultiHeadAttention(nn.Module):
             dropout_rng = self.make_rng("dropout")
             rate = self.dropout_rate
 
-        attn, _ = dot_product_attention(
-            q, k, v, bias=bias, mask=mask, causal=causal_flag,
-            dropout_rng=dropout_rng, dropout_rate=rate)
+        base = functools.partial(dot_product_attention, causal=causal_flag,
+                                 dropout_rate=rate)
+        if self.remat and mode == "full":
+            rematted = jax.checkpoint(
+                lambda q_, k_, v_, b_, m_, rng_: base(
+                    q_, k_, v_, bias=b_, mask=m_, dropout_rng=rng_))
+            attn, _ = rematted(q, k, v, bias, mask, dropout_rng)
+        else:
+            attn, _ = base(q, k, v, bias=bias, mask=mask,
+                           dropout_rng=dropout_rng)
 
         if diff:
             # pair heads (2h, 2h+1) and subtract with learned lambda
