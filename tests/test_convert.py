@@ -118,3 +118,186 @@ def test_regression_bilstm_parity():
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(got_cls), want_cls.numpy(),
                                rtol=2e-4, atol=2e-5)
+
+
+class _TorchGLU(torch.nn.Module):
+    """Mirror of GLUExpert (reference moe.py:36-49), eval mode."""
+
+    def __init__(self, d, ff):
+        super().__init__()
+        self.linear1 = torch.nn.Linear(d, ff)
+        self.linear2 = torch.nn.Linear(ff, d)
+        self.gate = torch.nn.Linear(d, ff)
+
+    def forward(self, x):
+        return self.linear2(self.linear1(x)
+                            * torch.nn.functional.silu(self.gate(x)))
+
+
+class _TorchSharedMoE(torch.nn.Module):
+    """Mirror of SharedMoELayer eval-path routing (reference moe.py:249-302):
+    top-k over gate logits, softmax over selected, + shared expert / k."""
+
+    def __init__(self, d, ff, n_experts=4, k=2):
+        super().__init__()
+        self.experts = torch.nn.ModuleList(
+            [_TorchGLU(d, ff) for _ in range(n_experts)])
+        self.shared_expert = _TorchGLU(d, ff)
+        self.gate = torch.nn.Linear(d, n_experts)
+        self.k = k
+
+    def forward(self, x):
+        logits = self.gate(x)
+        topv, topi = torch.topk(logits, self.k, dim=-1)
+        weights = torch.softmax(topv, dim=-1)
+        out = torch.zeros_like(x)
+        for slot in range(self.k):
+            for e, expert in enumerate(self.experts):
+                mask = (topi[..., slot] == e).unsqueeze(-1).float()
+                out = out + mask * weights[..., slot:slot + 1] * expert(x)
+        return out + self.shared_expert(x) / self.k
+
+
+class _TorchV2Layer(torch.nn.Module):
+    """Mirror of the fork's TransformerEncoderLayer (post-norm, no residual
+    dropout; reference custom_transformer.py:1220-1248)."""
+
+    def __init__(self, d, heads, ff_mod):
+        super().__init__()
+        self.self_attn = torch.nn.MultiheadAttention(d, heads)
+        self.ff = ff_mod
+        self.norm1 = torch.nn.LayerNorm(d)
+        self.norm2 = torch.nn.LayerNorm(d)
+
+    def forward(self, x):  # x: (L, B, D)
+        x = self.norm1(x + self.self_attn(x, x, x)[0])
+        return self.norm2(x + self.ff(x))
+
+
+def test_v2_encoder_layer_parity():
+    """SwiGLU and SharedMoE encoder layers: torch mirror -> converter ->
+    our EncoderLayer, numerical agreement (validates _glu_expert,
+    _glu_expert_stack, _shared_moe and the MoE dense-dispatch math)."""
+    from video2music_tpu.train.convert import (_glu_expert, _mha, _norm,
+                                               _shared_moe)
+
+    torch.manual_seed(3)
+    d, heads, ff, L = 16, 2, 32, 10
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, L, d)).astype(np.float32)
+
+    for kind in ("swiglu", "moe"):
+        ff_mod = (_TorchGLU(d, ff) if kind == "swiglu"
+                  else _TorchSharedMoE(d, ff))
+        t = _TorchV2Layer(d, heads, ff_mod).eval()
+        with torch.no_grad():
+            want = t(torch.from_numpy(x.transpose(1, 0, 2))).numpy()
+
+        sd = t.state_dict()
+        if kind == "swiglu":
+            ffn = _glu_expert(sd, "ff")
+            moe_cfg = {}
+        else:
+            ffn = _shared_moe(sd, "ff", n_experts=4)
+        params = {"self_attn": _mha(sd, "self_attn"), "ffn": ffn,
+                  "norm1": _norm(sd, "norm1"), "norm2": _norm(sd, "norm2")}
+
+        from dataclasses import replace as dc_replace
+
+        from video2music_tpu.core.config import MoEConfig
+        cfg = amt_config("2.2", n_layers=2, num_heads=heads, d_model=d,
+                         d_ff=ff, dropout=0.0)
+        # the version branch sets its own MoEConfig; shrink it for the test
+        cfg = dc_replace(cfg, moe=MoEConfig(
+            n_experts=4, n_experts_per_token=2, expert="glu",
+            shared_expert=True, topk_schedule=False))
+        att = AttentionConfig(num_heads=heads)  # no RoPE, like version 2.0
+        spec = LayerSpec(attn=att, ffn=kind)
+        layer = EncoderLayer(spec=spec, cfg=cfg)
+        got, _ = layer.apply({"params": params}, jnp.asarray(x),
+                             mutable=["metrics", "moe_state"])
+        np.testing.assert_allclose(np.asarray(got)[0], want[:, 0],
+                                   rtol=5e-4, atol=5e-5, err_msg=kind)
+
+
+def test_v2_full_tree_structure(rng):
+    """A synthetic reference-named state_dict converts to EXACTLY the param
+    tree of VideoMusicTransformer(amt_config('2.2')) — names, shapes, all."""
+    import jax.tree_util as jtu
+
+    from video2music_tpu.core import constants as CC
+    from video2music_tpu.models import VideoMusicTransformer
+    from video2music_tpu.train.convert import convert_reference_amt_v2
+
+    d, ff, heads, n_layers, E, vf = 16, 32, 2, 4, 6, 11
+    cfg = amt_config("2.2", n_layers=n_layers, num_heads=heads, d_model=d,
+                     d_ff=ff, dropout=0.0, max_seq_video=12,
+                     max_seq_chord=12, total_vf_dim=vf)
+    model = VideoMusicTransformer(cfg=cfg)
+    init = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 11), jnp.int32), jnp.zeros((1, 11), jnp.int32),
+        jnp.zeros((1, 11), jnp.int32),
+        jnp.zeros((1, 12, 7), jnp.float32), jnp.zeros((1, 1), jnp.float32),
+        jnp.zeros((1, 12), jnp.float32), jnp.zeros((1, 12), jnp.float32),
+        jnp.zeros((1, 12, 2), jnp.float32))
+
+    f = lambda *shape: rng.standard_normal(shape).astype(np.float32)
+    sd = {
+        "embedding_root.weight": f(CC.CHORD_ROOT_SIZE, d),
+        "embedding_attr.weight": f(CC.CHORD_ATTR_SIZE, d),
+        "Linear_chord.weight": f(d, d + 1), "Linear_chord.bias": f(d),
+        "Linear_vis.weight": f(d, vf), "Linear_vis.bias": f(d),
+        "Wout.weight": f(CC.CHORD_SIZE, d), "Wout.bias": f(CC.CHORD_SIZE),
+        "transformer.encoder.norm.weight": f(d),
+        "transformer.encoder.norm.bias": f(d),
+        "transformer.decoder.norm.weight": f(d),
+        "transformer.decoder.norm.bias": f(d),
+    }
+
+    def add_mha(p):
+        sd[p + ".in_proj_weight"] = f(3 * d, d)
+        sd[p + ".in_proj_bias"] = f(3 * d)
+        sd[p + ".out_proj.weight"] = f(d, d)
+        sd[p + ".out_proj.bias"] = f(d)
+
+    def add_glu(p):
+        sd[p + ".linear1.weight"] = f(ff, d)
+        sd[p + ".linear1.bias"] = f(ff)
+        sd[p + ".gate.weight"] = f(ff, d)
+        sd[p + ".gate.bias"] = f(ff)
+        sd[p + ".linear2.weight"] = f(d, ff)
+        sd[p + ".linear2.bias"] = f(d)
+
+    def add_moe(p):
+        sd[p + ".gate.weight"] = f(E, d)
+        sd[p + ".gate.bias"] = f(E)
+        for e in range(E):
+            add_glu(f"{p}.experts.{e}")
+        add_glu(p + ".shared_expert")
+
+    rate = min(3, n_layers - 1)
+    for i in range(n_layers):
+        e = f"transformer.encoder.layers.{i}"
+        add_mha(e + ".self_attn")
+        (add_glu if i < rate else add_moe)(e + ".ff")
+        for nrm in ("norm1", "norm2"):
+            sd[f"{e}.{nrm}.weight"] = f(d)
+            sd[f"{e}.{nrm}.bias"] = f(d)
+        dd = f"transformer.decoder.layers.{i}"
+        add_mha(dd + ".self_attn")
+        add_mha(dd + ".cross_attn")
+        (add_glu if i < rate else add_moe)(dd + ".ff")
+        for nrm in ("norm1", "norm2", "norm3"):
+            sd[f"{dd}.{nrm}.weight"] = f(d)
+            sd[f"{dd}.{nrm}.bias"] = f(d)
+
+    params = convert_reference_amt_v2(sd, n_layers=n_layers, n_experts=E)
+    want = {jtu.keystr(p): v.shape
+            for p, v in jtu.tree_leaves_with_path(init["params"])}
+    got = {jtu.keystr(p): np.asarray(v).shape
+           for p, v in jtu.tree_leaves_with_path(params)}
+    assert sorted(want) == sorted(got), (
+        sorted(set(want) ^ set(got))[:8])
+    for k in want:
+        assert want[k] == got[k], (k, want[k], got[k])

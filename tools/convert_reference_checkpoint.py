@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--weights", required=True)
-    p.add_argument("--kind", choices=["amt", "regression"], default="amt")
+    p.add_argument("--kind", choices=["amt", "amt_v2", "regression"], default="amt")
     p.add_argument("--n_layers", type=int, default=6)
     p.add_argument("--reg_model", default="bilstm")
     p.add_argument("--out", required=True)
@@ -29,11 +29,14 @@ def main():
     import orbax.checkpoint as ocp
 
     from video2music_tpu.train.convert import (convert_reference_amt,
+                                               convert_reference_amt_v2,
                                                convert_reference_regression)
 
     sd = torch.load(args.weights, map_location="cpu")
     if args.kind == "amt":
         params = convert_reference_amt(sd, args.n_layers)
+    elif args.kind == "amt_v2":
+        params = convert_reference_amt_v2(sd, args.n_layers)
     else:
         params = convert_reference_regression(sd, args.reg_model)
     with ocp.StandardCheckpointer() as ckptr:
