@@ -78,12 +78,22 @@ def dot_product_attention(q, k, v, *, bias=None, mask=None, causal=False,
     if v.shape[1] != H:
         v = jnp.repeat(v, H // v.shape[1], axis=1)
 
-    # Fused Pallas path: full-sequence, no dropout, no irregular mask.
-    if (mask is None and dropout_rate == 0.0 and q.shape[2] > 1
-            and _use_pallas()):
-        from .pallas_attention import flash_attention
-        out = flash_attention(q, k, v, bias=bias, causal=causal)
-        return out, None
+    # Fused Pallas paths: full-sequence, no irregular mask.
+    if mask is None and q.shape[2] > 1 and _use_pallas():
+        if dropout_rate == 0.0:
+            from .pallas_attention import flash_attention
+            out = flash_attention(q, k, v, bias=bias, causal=causal)
+            return out, None
+        if dropout_rng is not None:
+            # training path: softmax + dropout + output fused in VMEM,
+            # full Pallas backward with deterministic mask replay — the
+            # (B, H, L, S) probability tensor never reaches HBM.
+            from .pallas_attention_dropout import flash_attention_dropout
+            seed = jax.random.randint(dropout_rng, (), 0, 2 ** 31 - 1)
+            out = flash_attention_dropout(
+                q, k, v, bias=bias, causal=causal,
+                dropout_rate=dropout_rate, seed=seed)
+            return out, None
 
     logits = jnp.einsum("bhld,bhsd->bhls", q, k,
                         preferred_element_type=jnp.float32)
