@@ -127,3 +127,22 @@ def test_lstm_matches_torch(rng, reverse):
                                *map(jnp.asarray, (w_ih, w_hh, b_ih, b_hh)),
                                reverse=reverse))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_rosc_matches_reference_formula(rng):
+    """rosc == x*cos + rotate_half(x)*sin with duplicated angle
+    (reference rotate_operation.py:7-16,40-47)."""
+    import jax.numpy as jnp
+
+    from video2music_tpu.ops.embeddings import rosc, rotate_half
+
+    x = rng.standard_normal((2, 5, 8)).astype("float32")
+    angle = rng.standard_normal((2, 5, 4)).astype("float32")
+    got = np.asarray(rosc(jnp.asarray(x), jnp.asarray(angle)))
+    emb = np.concatenate([angle, angle], -1)
+    rh = np.concatenate([-x[..., 4:], x[..., :4]], -1)
+    want = x * np.cos(emb) + rh * np.sin(emb)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    # zero angle = identity
+    ident = np.asarray(rosc(jnp.asarray(x), jnp.zeros((2, 5, 4), "float32")))
+    np.testing.assert_allclose(ident, x, rtol=1e-6)

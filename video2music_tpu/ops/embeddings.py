@@ -105,3 +105,21 @@ def apply_rope(x, positions=None, base: float = 10000.0, max_len: int = 4096):
     x0, x1 = xshaped[..., 0], xshaped[..., 1]
     out = jnp.stack([x0 * cos - x1 * sin, x1 * cos + x0 * sin], axis=-1)
     return out.reshape(x.shape).astype(x.dtype)
+
+
+def rotate_half(x):
+    """(-x2, x1) split-rotation (reference: model/rotate_operation.py:40-44)."""
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def rosc(x, angle):
+    """Rotary Skip Connection: rotate the residual stream by a
+    sublayer-produced angle (reference: model/rotate_operation.py:7-16,
+    used by RoSCTransformer*Layer at custom_transformer.py:1294-1363 —
+    library-only upstream, never instantiated by a shipping model).
+
+    x: (..., D); angle: (..., D/2). Returns x*cos(a..a) + rotate_half(x)*sin.
+    """
+    emb = jnp.concatenate([angle, angle], axis=-1)
+    return x * jnp.cos(emb) + rotate_half(x) * jnp.sin(emb)
