@@ -11,8 +11,8 @@ import argparse
 from ..core import constants as C
 from ..core.config import TrainConfig, amt_config
 from ..data import create_vevo_datasets
-from ..models import VideoMusicTransformer
-from ..train.loop import LoopConfig, train_amt
+from ..models import MusicTransformer, VideoMusicTransformer
+from ..train.loop import LoopConfig, train_amt, train_music_transformer
 
 
 def total_vf_dim(sample, motion_type: int) -> int:
@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-weight_modulus", type=int, default=1)
     p.add_argument("-continue_weights", default=None)
     p.add_argument("-seed", type=int, default=0)
+    p.add_argument("-music_only", action="store_true",
+                   help="train the no-video MusicTransformer baseline "
+                        "(reference IS_VIDEO=False)")
     return p
 
 
@@ -57,12 +60,6 @@ def main(argv=None):
         augmentation=args.augmentation)
     if not len(train_ds):
         raise SystemExit(f"no complete samples under {args.dataset_dir}")
-    cfg = amt_config(
-        args.music_gen_version, n_layers=args.n_layers,
-        num_heads=args.num_heads, d_model=args.d_model,
-        d_ff=args.dim_feedforward, dropout=args.dropout,
-        total_vf_dim=total_vf_dim(train_ds[0], args.motion_type))
-    model = VideoMusicTransformer(cfg=cfg)
     tcfg = TrainConfig(
         batch_size=args.batch_size, epochs=args.epochs, lr=args.lr,
         ce_smoothing=args.ce_smoothing, optimizer=args.optimizer,
@@ -72,6 +69,21 @@ def main(argv=None):
                       weight_modulus=args.weight_modulus,
                       eval_train_subset=not args.augmentation,
                       continue_from=args.continue_weights, seed=args.seed)
+    if args.music_only:
+        from ..core.config import MusicTransformerConfig
+        mcfg = MusicTransformerConfig(
+            n_layers=args.n_layers, num_heads=args.num_heads,
+            d_model=args.d_model, d_ff=args.dim_feedforward,
+            dropout=args.dropout)
+        train_music_transformer(MusicTransformer(cfg=mcfg), tcfg, loop,
+                                train_ds, val_ds)
+        return
+    cfg = amt_config(
+        args.music_gen_version, n_layers=args.n_layers,
+        num_heads=args.num_heads, d_model=args.d_model,
+        d_ff=args.dim_feedforward, dropout=args.dropout,
+        total_vf_dim=total_vf_dim(train_ds[0], args.motion_type))
+    model = VideoMusicTransformer(cfg=cfg)
     train_amt(model, tcfg, loop, train_ds, val_ds, drop_loss=args.drop_loss)
 
 

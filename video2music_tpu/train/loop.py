@@ -25,6 +25,7 @@ import numpy as np
 from ..core import constants as C
 from ..core.config import TrainConfig
 from ..data.dataset import batches as make_batches
+from ..data.loader import PrefetchLoader
 from . import checkpoint as ckpt
 from .optim import make_optimizer, noam_schedule
 from .step import (TrainState, create_train_state, make_amt_eval_step,
@@ -78,9 +79,9 @@ class LoopConfig:
     log_fn: Callable[[str], None] = print
 
 
-def _epoch_pass(step_fn, state, dataset, batch_size, seed, device_put=None):
+def _epoch_pass(step_fn, state, batches_iter, device_put=None):
     losses = []
-    for batch in make_batches(dataset, batch_size, shuffle=True, seed=seed):
+    for batch in batches_iter:
         if device_put is not None:
             batch = device_put(batch)
         state, m = step_fn(state, batch)
@@ -124,10 +125,13 @@ def train_amt(model, tcfg: TrainConfig, loop: LoopConfig, train_ds, val_ds,
             csv.writer(f).writerow(CSV_HEADER)
 
     best_eval_loss, best_epoch = float("inf"), -1
+    # threaded prefetch: file parsing (C++ fast path) overlaps device compute
+    loader = PrefetchLoader(train_ds, loop.batch_size, shuffle=True,
+                            seed=loop.seed)
     for epoch in range(loop.epochs):
         t0 = time.time()
-        state, _ = _epoch_pass(train_step, state, train_ds, loop.batch_size,
-                               seed=loop.seed + epoch, device_put=device_put)
+        state, _ = _epoch_pass(train_step, state, loader,
+                               device_put=device_put)
         train_m = (_eval_pass(eval_step, state, train_ds, loop.batch_size,
                               device_put)
                    if loop.eval_train_subset else {})
@@ -189,10 +193,11 @@ def train_regression(model, tcfg: TrainConfig, loop: LoopConfig, train_ds,
             csv.writer(f).writerow(REG_CSV_HEADER)
 
     best_rmse = float("inf")
+    loader = PrefetchLoader(train_ds, loop.batch_size, shuffle=True,
+                            seed=loop.seed)
     for epoch in range(loop.epochs):
         state, train_rows = _epoch_pass(
-            train_step, state, train_ds, loop.batch_size,
-            seed=loop.seed + epoch, device_put=device_put)
+            train_step, state, loader, device_put=device_put)
         train_loss = float(np.mean([float(r["loss"]) for r in train_rows]))
 
         rows = []
@@ -219,4 +224,58 @@ def train_regression(model, tcfg: TrainConfig, loop: LoopConfig, train_ds,
         with open(results_file, "a", newline="") as f:
             csv.writer(f).writerow([epoch + 1, tcfg.lr or "", train_loss,
                                     eval_loss, rmse_nd, rmse_ln, bce])
+    return state
+
+
+def train_music_transformer(model, tcfg: TrainConfig, loop: LoopConfig,
+                            train_ds, val_ds, *,
+                            device_put=None) -> TrainState:
+    """MusicTransformer (no-video) training run — the reference's
+    IS_VIDEO=False branch (reference: run_model_vevo.py:135-180,
+    utilities/constants.py IS_VIDEO). Chord-only CE; same CSV shape with
+    empty emotion columns."""
+    from .step import (make_music_transformer_eval_step,
+                       make_music_transformer_train_step,
+                       music_transformer_init)
+
+    os.makedirs(loop.output_dir, exist_ok=True)
+    results_file = os.path.join(loop.output_dir, "results.csv")
+    weights_dir = os.path.join(loop.output_dir, "weights")
+    os.makedirs(weights_dir, exist_ok=True)
+
+    tx = make_optimizer(tcfg, d_model=model.cfg.d_model)
+    first = next(make_batches(train_ds, loop.batch_size, shuffle=False))
+    state = create_train_state(model, tx, jax.random.PRNGKey(tcfg.seed),
+                               first, init_fn=music_transformer_init)
+    if loop.continue_from:
+        state = ckpt.restore_checkpoint(loop.continue_from, state)
+
+    train_step = jax.jit(make_music_transformer_train_step(model, tx, tcfg))
+    eval_step = jax.jit(make_music_transformer_eval_step(model, tcfg))
+
+    if not os.path.isfile(results_file):
+        with open(results_file, "w", newline="") as f:
+            csv.writer(f).writerow(CSV_HEADER)
+
+    best_eval_loss = float("inf")
+    loader = PrefetchLoader(train_ds, loop.batch_size, shuffle=True,
+                            seed=loop.seed)
+    for epoch in range(loop.epochs):
+        t0 = time.time()
+        state, _ = _epoch_pass(train_step, state, loader,
+                               device_put=device_put)
+        eval_m = _eval_pass(eval_step, state, val_ds, loop.batch_size,
+                            device_put)
+        loop.log_fn(f"epoch {epoch + 1}/{loop.epochs} "
+                    f"val_loss={eval_m['loss']:.4f} "
+                    f"h1={eval_m['hits@1']:.4f} ({time.time() - t0:.1f}s)")
+        if eval_m["loss"] < best_eval_loss:
+            best_eval_loss = eval_m["loss"]
+            ckpt.save_checkpoint(
+                os.path.join(weights_dir, "best_loss_weights"), state)
+        with open(results_file, "a", newline="") as f:
+            csv.writer(f).writerow([
+                epoch + 1, "", "", "", "", "", "", "",
+                eval_m["loss"], eval_m["loss"], "",
+                eval_m["hits@1"], eval_m["hits@3"], eval_m["hits@5"]])
     return state
