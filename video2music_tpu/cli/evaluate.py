@@ -78,6 +78,9 @@ def main(argv=None):
                    help="must match training for comparable loss values")
     p.add_argument("-confusion", action="store_true",
                    help="also save chord/root/quality confusion .npy files")
+    p.add_argument("-expert_plots", action="store_true",
+                   help="save MoE expert-emotion count json + heatmaps "
+                        "(reference: third_party/log_experts.py)")
     args = p.parse_args(argv)
 
     _, _, test_ds = create_vevo_datasets(dataset_root=args.dataset_dir,
@@ -99,6 +102,25 @@ def main(argv=None):
     rows = [eval_step(state.params, state.moe_state, b)
             for b in make_batches(test_ds, args.batch_size, shuffle=False)]
     metrics = _mean_metrics(rows)
+
+    if args.expert_plots:
+        # run the forward with the metrics collection mutable so MoE layers
+        # accumulate per-(emotion, expert) counts (obs/logging.py)
+        from ..obs import plot_expert_emotion_heatmaps, save_expert_emotion
+        acc = None
+        for b in make_batches(test_ds, args.batch_size, shuffle=False):
+            _, mut = model.apply(
+                {"params": state.params, "moe_state": state.moe_state},
+                b["x"], b["x_root"], b["x_attr"], b["semantic"], b["key"],
+                b["scene_offset"], b["motion"], b["emotion"],
+                deterministic=True, mutable=["moe_state", "metrics"])
+            m = mut.get("metrics", {})
+            acc = m if acc is None else jax.tree_util.tree_map(
+                lambda a, c: a + c, acc, m)
+        if acc:
+            os.makedirs(args.output_dir, exist_ok=True)
+            save_expert_emotion(acc, out_dir=args.output_dir)
+            plot_expert_emotion_heatmaps(acc, out_dir=args.output_dir)
     os.makedirs(args.output_dir, exist_ok=True)
     with open(os.path.join(args.output_dir, "eval_results.json"), "w") as f:
         json.dump(metrics, f, indent=2)

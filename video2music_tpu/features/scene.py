@@ -50,8 +50,20 @@ def _rgb_to_hsv_arrays(frames: np.ndarray) -> np.ndarray:
     return np.stack([h * 180.0, s * 255.0, v * 255.0], axis=-1)
 
 
-def content_scores(frames: np.ndarray) -> np.ndarray:
+def auto_downscale(frames: np.ndarray, target_width: int = 256) -> np.ndarray:
+    """Integer-stride downscale before scoring, mirroring PySceneDetect's
+    auto-downscale (factor ~ width // 256); content deltas are stable under
+    downscaling and the host cost drops by factor^2."""
+    factor = max(1, frames.shape[2] // target_width)
+    if factor == 1:
+        return frames
+    return frames[:, ::factor, ::factor]
+
+
+def content_scores(frames: np.ndarray, downscale: bool = True) -> np.ndarray:
     """Per-frame HSV content score; score[0] = 0 (no previous frame)."""
+    if downscale:
+        frames = auto_downscale(frames)
     hsv = _rgb_to_hsv_arrays(frames)
     deltas = np.abs(hsv[1:] - hsv[:-1])
     # hue wraps at 180
