@@ -147,7 +147,9 @@ int32_t v2m_parse_chord_lab(const char* path, int64_t* chord_out,
   if (!buf) return -1;
   const Vocab& v = vocab();
   int32_t count = 0;
-  *key_out = 0;
+  // default minor: the Python path tests 'major' in key-string, and an
+  // absent key header ("") therefore yields minor (1)
+  *key_out = 1;
   *last_time_out = max_seq;
   char* p = buf;
   while (*p) {

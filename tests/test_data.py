@@ -173,3 +173,18 @@ def test_vevo_dataset_and_batches(tmp_path):
     assert batch["x"].shape == (4, 9)
     assert batch["semantic"].shape == (4, 10, 8)
     assert batch["instrument"].shape == (4, 10, 40)
+
+
+def test_end_insertion_skipped_when_lab_reaches_last_slot():
+    """A chord lab whose last line is second max_seq-1 must not crash or
+    insert END out of range (reference dead-path IndexError fixed)."""
+    lab = ["key C major"] + [f"{t} C" for t in range(10)]
+    sem = np.zeros((10, 4), np.float32)
+    s = make_sample(
+        chord_lab=lab, chord_lab_no_norm=["key C major"],
+        emotion_lab=EMOTION_LAB, motion_src=SCALAR_LAB,
+        scene_offset_lab=SCENE_LAB, loudness_lab=SCALAR_LAB,
+        note_density_lab=SCALAR_LAB, instrument_csv=INSTR_CSV,
+        semantic_npy=sem, max_seq_chord=10, max_seq_video=10)
+    assert s["tgt"].shape == (9,)
+    assert (s["tgt"] != C.CHORD_END).all()  # no room for END

@@ -38,11 +38,17 @@ def test_maxvit_t_output_is_512(rng):
 
 def test_motion_diff_and_scalar(rng):
     frames = [rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)
-              for _ in range(4)]
-    diffs = motion_diff_frames(frames)
+              for _ in range(8)]
+    # consecutive-frame pairs at second boundaries (video_io helper)
+    from video2music_tpu.pipeline.video_io import second_boundary_pairs
+    pairs = second_boundary_pairs(frames, fps=2.0)  # boundaries at idx 2,4,6
+    assert len(pairs) == 3
+    # each pair is (frame[i-1], frame[i]) — consecutive, NOT 1 s apart
+    assert pairs[0][1] is frames[2] and pairs[0][0] is frames[1]
+    diffs = motion_diff_frames(pairs)
     assert diffs.shape == (4, 24, 32, 3)
     assert (diffs[0] == 0).all()  # leading zero frame
-    vals = scalar_motion(frames)
+    vals = scalar_motion(pairs)
     assert vals.shape == (4,)
     assert vals[0] == 0.0 and (vals[1:] > 0).all()
     pre = preprocess_diff_frames(diffs, image_size=16)

@@ -99,3 +99,11 @@ def test_prefetch_loader_covers_dataset():
     # second epoch reshuffles
     batches2 = list(loader)
     assert len(batches2) == 3
+
+
+def test_chord_lab_no_key_header_defaults_minor(tmp_path):
+    """No 'key' header -> minor (1), matching the Python 'major' in ''
+    test (dataset.py) on both parser paths."""
+    p = _write(tmp_path, "nokey.lab", "0 C\n1 F\n")
+    *_, key, _ = N.parse_chord_lab(p, 10)
+    assert key == 1

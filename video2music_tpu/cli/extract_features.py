@@ -106,16 +106,16 @@ def cmd_scene(args):
 
 def cmd_motion(args):
     from ..features.maxvit import scalar_motion
-    from ..pipeline.video_io import frames_per_second, read_frames
+    from ..pipeline.video_io import read_frames, second_boundary_pairs
 
     os.makedirs(args.out_dir, exist_ok=True)
     for fname in _videos_in(args.video_dir):
         vid = os.path.splitext(fname)[0]
         _, frames_all, fps, _ = read_frames(
             os.path.join(args.video_dir, fname))
-        sec_frames = frames_per_second(frames_all, fps)
+        pairs = second_boundary_pairs(frames_all, fps)
         if args.motion_type == 0:
-            vals = scalar_motion(sec_frames)
+            vals = scalar_motion(pairs)
             with open(os.path.join(args.out_dir, vid + ".lab"), "w") as f:
                 for i, v in enumerate(vals):
                     f.write(f"{i} {v:.4f}\n")
@@ -126,7 +126,7 @@ def cmd_motion(args):
                                            preprocess_diff_frames)
             params = np.load(args.maxvit_params, allow_pickle=True).item()
             model = MaxViT(cfg=maxvit_t_config())
-            diffs = motion_diff_frames(sec_frames)
+            diffs = motion_diff_frames(pairs)
             feats = np.asarray(jax.jit(model.apply)(
                 {"params": params},
                 jnp.asarray(preprocess_diff_frames(diffs))))

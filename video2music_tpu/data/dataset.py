@@ -75,8 +75,12 @@ def make_sample(*, chord_lab, chord_lab_no_norm, emotion_lab, motion_src,
     tgt_root = root[1:max_seq_chord].copy()
     x_attr = attr[: max_seq_chord - 1]
     tgt_attr = attr[1:max_seq_chord].copy()
-    if last_time < max_seq_chord:
-        # END token right after the final chord (reference: :325-328)
+    if last_time < max_seq_chord - 1:
+        # END token right after the final chord (reference: :325-328). The
+        # bound is max_seq-1 (tgt has length 299): a clip whose lab reaches
+        # second 299 gets no END — matching the reference when a t>=300
+        # line triggers its break, and fixing its dead-path IndexError when
+        # the lab ends at exactly t=299.
         tgt[last_time] = C.CHORD_END
         tgt_root[last_time] = C.CHORD_ROOT_END
         tgt_attr[last_time] = C.CHORD_ATTR_END

@@ -58,14 +58,38 @@ class PrefetchLoader:
         stop = threading.Event()
 
         def producer():
+            # bounded in-flight window: only num_workers + prefetch batches
+            # exist at any time (an unbounded submit would materialize the
+            # whole epoch regardless of consumption rate)
+            from collections import deque
+
+            window = self.num_workers + self.prefetch
             with ThreadPoolExecutor(self.num_workers) as pool:
-                futures = [pool.submit(self._make_batch, idx)
-                           for idx in self._batch_indices()]
-                for fut in futures:
-                    if stop.is_set():
-                        return
-                    q.put(fut.result())
-            q.put(None)
+                pending: deque = deque()
+                it = self._batch_indices()
+                try:
+                    for idx in it:
+                        while len(pending) >= window:
+                            if not _put(pending.popleft().result()):
+                                return
+                        pending.append(pool.submit(self._make_batch, idx))
+                    while pending:
+                        if not _put(pending.popleft().result()):
+                            return
+                finally:
+                    for fut in pending:
+                        fut.cancel()
+            _put(None)
+
+        def _put(item) -> bool:
+            """queue.put that gives up when the consumer is gone."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

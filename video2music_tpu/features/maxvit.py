@@ -239,27 +239,32 @@ def preprocess_diff_frames(frames: np.ndarray,
     return (out - IMAGENET_MEAN) / IMAGENET_STD
 
 
-def motion_diff_frames(frames_bgr: list) -> np.ndarray:
-    """Per-second |frame_t - frame_{t-1}| RGB diff images with a leading
-    zero row, matching the reference's capture loop
-    (video2music.py:311-335). ``frames_bgr``: list of HxWx3 uint8 BGR."""
+def motion_diff_frames(frame_pairs: list) -> np.ndarray:
+    """|cur - prev| RGB diff images with a leading zero row, matching the
+    reference's capture loop (video2music.py:311-335). ``frame_pairs``:
+    list of (prev, cur) CONSECUTIVE-frame BGR pairs at 1-second boundaries
+    (see pipeline.video_io.second_boundary_pairs) — each diff spans ~1/fps,
+    not a full second."""
     import cv2
 
-    diffs = [np.zeros_like(frames_bgr[0])[..., ::-1]]
-    for prev, cur in zip(frames_bgr, frames_bgr[1:]):
+    if not frame_pairs:
+        return np.zeros((1, 2, 2, 3), np.uint8)
+    diffs = [np.zeros_like(frame_pairs[0][0])[..., ::-1]]
+    for prev, cur in frame_pairs:
         diff = cv2.absdiff(cur, prev)
         diffs.append(cv2.cvtColor(diff, cv2.COLOR_BGR2RGB))
     return np.stack(diffs)
 
 
-def scalar_motion(frames_bgr: list) -> np.ndarray:
-    """motion_type=0 scalar motion: mean of the RGB absdiff per second, with
-    a leading zero (reference: video2music.py:269-295 commented 'origin'
-    path that produced the dataset's motion .lab files)."""
+def scalar_motion(frame_pairs: list) -> np.ndarray:
+    """motion_type=0 scalar motion: mean RGB absdiff of consecutive frames
+    at each second boundary, with a leading zero (reference:
+    video2music.py:269-295 'origin' path that produced the dataset's
+    motion .lab files)."""
     import cv2
 
     vals = [0.0]
-    for prev, cur in zip(frames_bgr, frames_bgr[1:]):
+    for prev, cur in frame_pairs:
         diff = cv2.absdiff(cur, prev)
         vals.append(float(cv2.cvtColor(diff, cv2.COLOR_BGR2RGB).mean()))
     return np.asarray(vals, np.float32)

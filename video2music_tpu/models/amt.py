@@ -197,7 +197,7 @@ class VideoMusicTransformer(nn.Module):
         if self.cfg.pos_encoding == "sinusoidal":
             table = jnp.asarray(sinusoidal_table(self.cfg.max_seq_chord,
                                                  self.cfg.d_model))
-            xf = xf + table[pos][None, None, :]
+            xf = xf + table[pos][None, None, :].astype(xf.dtype)
         elif self.cfg.pos_encoding == "learned":
             xf = self.pe_chord(xf, position=pos)
         out = xf

@@ -89,7 +89,7 @@ class MusicTransformer(nn.Module):
         xf = self._embed(token_root, token_attr, key)
         table = jnp.asarray(sinusoidal_table(self.cfg.max_seq_chord,
                                              self.cfg.d_model))
-        xf = xf + table[pos][None, None, :]
+        xf = xf + table[pos][None, None, :].astype(xf.dtype)
         for layer in self.layers:
             xf = layer(xf, causal=True, mode="step", decode_pos=pos)
         xf = self.final_norm(xf)

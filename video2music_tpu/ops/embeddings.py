@@ -50,7 +50,9 @@ class SinusoidalPE(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         seq_len = x.shape[-2]
         pe = jnp.asarray(sinusoidal_table(self.max_len, self.d_model))[:seq_len]
-        x = x + pe
+        # add in x's dtype: an f32 table would promote bf16 activations back
+        # to f32 for the whole downstream network
+        x = x + pe.astype(x.dtype)
         return nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
 

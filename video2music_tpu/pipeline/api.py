@@ -19,6 +19,13 @@ Reproduced live-path quirks (documented, flag-switchable where sensible):
     never actually pans; ``correct_panning=True`` emits a proper CC10;
   * the in-renderer transposition is computed then zeroed
     (midi/arpeggio.py docstring).
+
+Documented deviation: the rendered chord sequence is truncated to the
+video's real duration (``n_sec``) — the reference always renders all 300
+generated chords, so its output.mid runs 300 s regardless of video length
+(video2music.py:935-992); the muxed mp4 is then cut by moviepy. Rendering
+only n_sec chords yields identical muxed output with a sane standalone
+.mid/.flac.
 """
 
 from __future__ import annotations
@@ -183,13 +190,16 @@ class Video2music:
         cuts = scene_mod.detect_cuts(rgb_all)
         spans = scene_mod.scenes_from_cuts(cuts, len(frames_all), fps)
         ids = scene_mod.scene_ids_per_second(spans, n_sec)
-        scene_offset = np.asarray(scene_mod.scene_offsets(ids), np.float32)
+        # +1 shift matches both the training loader and the reference's
+        # get_scene_offset_feature (int(sceneID)+1); 0 stays the PAD value
+        scene_offset = np.asarray(scene_mod.scene_offsets(ids),
+                                  np.float32) + 1.0
 
-        sec_frames = video_io.frames_per_second(frames_all, fps)
+        pairs = video_io.second_boundary_pairs(frames_all, fps)
         if self.motion_type == 0:
-            motion = scalar_motion(sec_frames)
+            motion = scalar_motion(pairs)
         else:
-            diffs = motion_diff_frames(sec_frames)
+            diffs = motion_diff_frames(pairs)
             if self.maxvit_params is None:
                 raise ValueError("maxvit_params required for motion_type>=1")
             mv = MaxViT(cfg=maxvit_t_config())

@@ -84,6 +84,9 @@ def resolve_key_and_primer(key: Optional[str], primer: Optional[str],
     emotion_idx = int(np.argmax(emotion_mean))
     if key is not None and key.strip():
         key = key.strip()
+        # reference quirk (video2music.py:724-728): the minor test is the
+        # literal suffix "min" — so "A minor"[-3:] == "nor" conditions the
+        # model as MAJOR; only "A min" hits the minor branch. Reproduced.
         is_minor = key[-3:] == "min"
         key_feature = 1.0 if is_minor else 0.0
     else:

@@ -57,8 +57,7 @@ def read_frames(video_path: str, max_seconds: int = 300):
 
 def frames_per_second(frames_all: List[np.ndarray], fps: float
                       ) -> List[np.ndarray]:
-    """One BGR frame per second (for the motion diff loop,
-    reference: video2music.py:311-335)."""
+    """One BGR frame per second."""
     out = []
     next_second = 0.0
     for idx, frame in enumerate(frames_all):
@@ -66,6 +65,24 @@ def frames_per_second(frames_all: List[np.ndarray], fps: float
             out.append(frame)
             next_second += 1.0
     return out
+
+
+def second_boundary_pairs(frames_all: List[np.ndarray], fps: float
+                          ) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """(previous frame, frame) pairs at each 1-second boundary.
+
+    The reference's motion loop updates prev_frame EVERY frame and diffs
+    when a second has elapsed (video2music.py:311-335), so each diff spans
+    ~1/fps — consecutive frames — not a full second. The first boundary has
+    no pair (the reference emits a zeros row for it)."""
+    pairs = []
+    prev_time = 0
+    for idx in range(1, len(frames_all)):
+        t = idx / fps
+        if t - prev_time >= 1.0:
+            pairs.append((frames_all[idx - 1], frames_all[idx]))
+            prev_time = int(t)
+    return pairs
 
 
 def midi_to_audio(midi_path: str, audio_path: str,

@@ -292,7 +292,8 @@ def make_regression_train_step(model, tx, tcfg: TrainConfig):
 
         def loss_fn(params):
             (ln_nd, inst), mutated = _reg_forward(
-                model, _maybe_bf16(params, tcfg), state.moe_state, batch,
+                model, _maybe_bf16(params, tcfg), state.moe_state,
+                _maybe_bf16_batch(batch, tcfg),
                 deterministic=False, rngs={"dropout": d_rng})
             total, (reg, cls) = regression_loss(ln_nd, inst, batch)
             return total, (reg, cls, mutated)
