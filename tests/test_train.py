@@ -238,3 +238,26 @@ def test_remat_attention_matches(rng):
                      np.asarray(jax.tree_util.tree_leaves(state.params)[0])))
     assert outs[0][0] == outs[1][0]
     np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-6)
+
+
+def test_amt_separated_eval_metrics(rng):
+    """Separated models score via the root x attr reconstruction
+    (reference _root_attr metric variants)."""
+    model = VideoMusicTransformer(cfg=amt_config(
+        None, n_layers=2, num_heads=2, d_model=16, d_ff=32,
+        max_seq_video=12, max_seq_chord=12,
+        total_vf_dim=VF["sem"] + 1 + 1 + VF["emo"], dropout=0.0,
+        separated=True))
+    tcfg = TrainConfig(optimizer="adam", lr=1e-3)
+    tx = make_optimizer(tcfg, d_model=16)
+    batch = _amt_batch(rng)
+    batch["tgt_root"] = jnp.asarray(
+        np.random.default_rng(3).integers(0, 13, batch["tgt"].shape))
+    batch["tgt_attr"] = jnp.asarray(
+        np.random.default_rng(4).integers(0, 14, batch["tgt"].shape))
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    ev = jax.jit(make_amt_eval_step(model, tcfg))
+    m = ev(state.params, state.moe_state, batch)
+    for k in ("loss", "accuracy", "hits@1", "hits@5", "correspondence"):
+        assert np.isfinite(float(m[k])), k
+    assert float(m["hits@1"]) <= float(m["hits@5"])

@@ -84,6 +84,12 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
       dict with gen_seq / gen_seq_root / gen_seq_attr, each
       (B, target_seq_length) int32.
     """
+    if getattr(model.cfg, "separated", False):
+        raise NotImplementedError(
+            "generate_chords needs the 159-way chord head; separated "
+            "(root/attr) models have no generate path in the reference "
+            "either (its generate slices the chord softmax, "
+            "video_music_transformer.py:1070-1073)")
     root_tab, attr_tab = chord_to_root_attr_tables()
     root_tab = jnp.asarray(root_tab)
     attr_tab = jnp.asarray(attr_tab)

@@ -179,20 +179,31 @@ def make_amt_train_step(model, tx, tcfg: TrainConfig, drop_loss: bool = False):
 def make_amt_eval_step(model, tcfg: TrainConfig):
     """Returns jittable ``eval_step(params, moe_state, batch) -> metrics``
     covering the reference's eval_model statistics
-    (reference: run_model_vevo.py:198-566)."""
+    (reference: run_model_vevo.py:198-566). Separated models score through
+    the root x attr product reconstruction (``_root_attr`` metric variants,
+    reference: vevo_dataset.py:703-745,812-963)."""
+    separated = getattr(model.cfg, "separated", False)
 
     def eval_step(params, moe_state, batch):
         logits, _ = _amt_forward(model, params, moe_state, batch,
                                  deterministic=True, rngs=None)
-        total, (lc, le) = amt_loss(logits, batch, tcfg)
+        if separated:
+            lr_, la_ = logits
+            total = amt_separated_loss(lr_, la_, batch, tcfg)
+            probs = M.root_attr_to_chord_logits(lr_, la_)
+            chord_logits = jnp.log(probs + 1e-20)
+            lc, le = total, jnp.asarray(-1.0)
+        else:
+            total, (lc, le) = amt_loss(logits, batch, tcfg)
+            chord_logits = logits
         return {
             "loss": total, "loss_chord": lc, "loss_emotion": le,
-            "accuracy": M.compute_vevo_accuracy(logits, batch["tgt"]),
-            "hits@1": M.compute_hits_k(logits, batch["tgt"], 1),
-            "hits@3": M.compute_hits_k(logits, batch["tgt"], 3),
-            "hits@5": M.compute_hits_k(logits, batch["tgt"], 5),
+            "accuracy": M.compute_vevo_accuracy(chord_logits, batch["tgt"]),
+            "hits@1": M.compute_hits_k(chord_logits, batch["tgt"], 1),
+            "hits@3": M.compute_hits_k(chord_logits, batch["tgt"], 3),
+            "hits@5": M.compute_hits_k(chord_logits, batch["tgt"], 5),
             "correspondence": M.compute_vevo_correspondence(
-                logits, batch["tgt"], batch["tgt_emotion"],
+                chord_logits, batch["tgt"], batch["tgt_emotion"],
                 batch["tgt_emotion_prob"]),
         }
 
