@@ -112,20 +112,22 @@ def bench_reference_style(model, variables, feats, buckets=(75, 150, 225, 300)):
 
     gen = np.zeros((1, 300), np.int64)
     rng = jax.random.PRNGKey(0)
-    t0 = time.perf_counter()
-    # time 30 evenly-spaced steps and scale: full 300 steps of this loop is
-    # prohibitively slow on big models, exactly the point being measured
+    # time 30 evenly-spaced steps and scale by the MEDIAN step time: full
+    # 300 steps of this loop is prohibitively slow on big models (exactly
+    # the point being measured), and per-step tunnel latency is noisy
     stride = 10
     steps = list(range(1, 300, stride))
+    times = []
     for cur in steps:
         L = min(b for b in buckets if b >= cur)
         x = jnp.asarray(gen[:, :L])
         rng, sub = jax.random.split(rng)
+        t0 = time.perf_counter()
         nxt = fwd_cache[L](variables, feats, x, x, x, sub)
         gen[0, cur] = int(nxt[0])  # host round-trip, as in the reference
-    jax.block_until_ready(nxt)
-    elapsed = time.perf_counter() - t0
-    return elapsed * stride  # scale sampled steps to all 300
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2] * 300  # median step x 300 steps
 
 
 def main():
