@@ -122,7 +122,16 @@ int32_t v2m_parse_emotion_lab(const char* path, float* out, int32_t max_seq,
       long t = std::strtol(p, &cur, 10);
       if (t >= max_seq) break;
       if (t >= 0) {
+        // Stay within this line: a short row (fewer than n_emotions values,
+        // e.g. a 5-class file read with n_emotions=6) must leave the missing
+        // columns at the caller's prefill instead of consuming the next
+        // line's timestamp as a probability.
         for (int e = 0; e < n_emotions; ++e) {
+          while (cur < line_end &&
+                 (*cur == ' ' || *cur == '\t' || *cur == '\r')) {
+            ++cur;
+          }
+          if (cur >= line_end) break;
           out[t * n_emotions + e] = std::strtof(cur, &cur);
         }
         ++count;

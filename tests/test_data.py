@@ -188,3 +188,25 @@ def test_end_insertion_skipped_when_lab_reaches_last_slot():
         semantic_npy=sem, max_seq_chord=10, max_seq_video=10)
     assert s["tgt"].shape == (9,)
     assert (s["tgt"] != C.CHORD_END).all()  # no room for END
+
+
+def test_dataset_cache_is_bounded(tmp_path):
+    """The lazy sample cache is a bounded LRU — a tiny capacity must evict
+    rather than grow, while repeated access to one index stays cached."""
+    ids = ["aaa", "bbb", "ccc", "ddd"]
+    _write_fixture_tree(str(tmp_path), ids)
+    ds = VevoDataset(str(tmp_path), split="train", max_seq_chord=10,
+                     max_seq_video=10, cache_size=2)
+    n = len(ds)
+    assert n >= 3
+    for i in range(n):
+        ds[i]
+    assert len(ds._cache) <= 2
+    # LRU order: most recently used survive
+    a = ds[0]
+    b = ds[1]
+    assert 0 in ds._cache and 1 in ds._cache
+    ds[0]
+    ds[2]  # evicts 1 (least recently used), not 0
+    assert 0 in ds._cache and 2 in ds._cache and 1 not in ds._cache
+    np.testing.assert_array_equal(ds[0]["x"], a["x"])

@@ -36,6 +36,48 @@ def test_maxvit_t_output_is_512(rng):
     assert cfg.channels[-1] == 512
 
 
+def test_maxvit_converter_parity_vs_torch_mirror(rng):
+    """Round-trip a random-weight torch MaxViT (exact torchvision 0.18.1
+    graph reconstruction, tools/torch_maxvit_mirror.py) through
+    convert_torchvision_maxvit and require numerical agreement with the
+    flax model — validating layer names, conv transposes, the qkv packing,
+    BN folding (eps=1e-3), torch-aligned stride-2 padding, the grid
+    partition axis swap, and the feat_dim**-0.5 attention scale
+    (reference usage: video2music.py:298-341)."""
+    torch = pytest.importorskip("torch")
+    from tools.torch_maxvit_mirror import MaxVit as TorchMaxVit
+    from tools.torch_maxvit_mirror import feature_extractor
+    from video2music_tpu.features.maxvit import convert_torchvision_maxvit
+
+    torch.manual_seed(0)
+    # tiny instantiation covering every structural case: stride-2 MBConv
+    # with channel change (both stages), stride-1 identity-proj MBConv
+    # (stage0 depth 2), window + grid attention at g>1 and g==1
+    mirror = TorchMaxVit(input_size=(16, 16), stem_channels=8,
+                         partition_size=2, block_channels=(8, 16),
+                         block_layers=(2, 1), head_dim=4)
+    mirror = feature_extractor(mirror).eval()
+    with torch.no_grad():
+        for p in mirror.parameters():
+            p.copy_(torch.randn_like(p) * 0.2)
+        for name, b in mirror.named_buffers():
+            if name.endswith("running_mean"):
+                b.copy_(torch.randn_like(b) * 0.2)
+            elif name.endswith("running_var"):
+                b.copy_(torch.rand_like(b) + 0.5)
+
+    x = rng.standard_normal((2, 16, 16, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = mirror(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    cfg = MaxViTConfig(channels=(8, 16), depths=(2, 1), stem_channels=8,
+                       partition=2, head_dim=4, image_size=16)
+    params = convert_torchvision_maxvit(mirror.state_dict(), cfg)
+    got = MaxViT(cfg=cfg).apply({"params": jax.tree_util.tree_map(
+        np.asarray, params)}, x)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
 def test_motion_diff_and_scalar(rng):
     frames = [rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)
               for _ in range(8)]

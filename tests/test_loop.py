@@ -73,3 +73,88 @@ def test_train_regression_loop(datasets, tmp_path):
         rows = list(csv.reader(f))
     assert len(rows) == 2
     assert float(rows[1][4]) >= 0  # RMSE note density column
+
+
+def test_separated_train_metric_is_optimized_total(datasets):
+    """For separated models metrics['loss'] must be the optimized total
+    (CE(root)+CE(attr)), not a lambda-mix with the -1.0 emotion sentinel."""
+    import jax
+    from video2music_tpu.data.dataset import batches as make_batches
+    from video2music_tpu.train import (create_train_state, make_optimizer,
+                                       make_amt_train_step)
+
+    train_ds, _, _ = datasets
+    cfg = amt_config("1.0", n_layers=1, num_heads=2, d_model=16, d_ff=32,
+                     max_seq_video=10, max_seq_chord=10,
+                     total_vf_dim=8 + 1 + 1 + 6, dropout=0.0,
+                     separated=True)
+    model = VideoMusicTransformer(cfg=cfg)
+    tcfg = TrainConfig(optimizer="adam", lr=1e-3)
+    tx = make_optimizer(tcfg, d_model=cfg.d_model)
+    batch = next(make_batches(train_ds, 2, shuffle=False))
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    step = jax.jit(make_amt_train_step(model, tx, tcfg))
+    _, m = step(state, batch)
+    lc = float(m["loss_chord"])
+    assert float(m["loss_emotion"]) == -1.0  # sentinel reported separately
+    assert abs(float(m["loss"]) - lc) < 1e-6  # loss == the optimized total
+    assert float(m["loss"]) > 0.0
+
+
+def test_train_regression_loop_with_mixup(tmp_path):
+    """Regression epoch with mixup augmentation active: the (l-1)
+    negative-weight quirk combination must still train to a finite loss
+    (reference: vevo_dataset.py:193-224)."""
+    root = tmp_path / "vevo"
+    _write_fixture_tree(str(root), ["aaa", "bbb", "ccc", "ddd"])
+    train_ds, val_ds, _ = create_vevo_datasets(
+        str(root), max_seq_chord=10, max_seq_video=10, augmentation=True)
+    # augmented split = base + 2x mixup pairs
+    assert len(train_ds) == 3 * len(train_ds.ids)
+    # mixup sample sanity: float features combine a*l + b*(l-1)
+    n = len(train_ds.ids)
+    i, j, l = train_ds._aug[0]
+    mixed = train_ds[n]
+    want = train_ds[i]["semantic"] * l + train_ds[j]["semantic"] * (l - 1)
+    np.testing.assert_allclose(mixed["semantic"], want, rtol=1e-6)
+
+    cfg = RegressionConfig(reg_model="gru", n_layers=1, d_model=8,
+                           d_hidden=16, total_vf_dim=8 + 6, dropout=0.0)
+    out = tmp_path / "reg_mix"
+    loop = LoopConfig(epochs=1, batch_size=2, output_dir=str(out),
+                      log_fn=lambda *_: None)
+    state = train_regression(VideoRegression(cfg=cfg),
+                             TrainConfig(optimizer="adam", lr=1e-3), loop,
+                             train_ds, val_ds)
+    with open(out / "results.csv") as f:
+        rows = list(csv.reader(f))
+    train_loss = float(rows[1][2])
+    assert np.isfinite(train_loss)
+
+
+def test_params_only_resume_warns_about_lr_restart(datasets, tmp_path):
+    """continue_from a weights-only checkpoint restarts the Noam warmup;
+    the loop must surface that (or accept LoopConfig.init_steps)."""
+    import jax
+    from video2music_tpu.data.dataset import batches as make_batches
+    from video2music_tpu.train import (checkpoint as ckpt,
+                                       create_train_state, make_optimizer)
+
+    train_ds, val_ds, _ = datasets
+    cfg = amt_config("2.2", n_layers=1, num_heads=2, d_model=16, d_ff=32,
+                     max_seq_video=10, max_seq_chord=10,
+                     total_vf_dim=8 + 1 + 1 + 6, dropout=0.0)
+    model = VideoMusicTransformer(cfg=cfg)
+    tcfg = TrainConfig(optimizer="adamw", lr=None)  # Noam schedule
+    tx = make_optimizer(tcfg, d_model=cfg.d_model)
+    batch = next(make_batches(train_ds, 2, shuffle=False))
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    wpath = tmp_path / "weights_only"
+    ckpt.save_checkpoint(str(wpath), state, params_only=True)
+
+    logs = []
+    out = tmp_path / "resume"
+    loop = LoopConfig(epochs=1, batch_size=2, output_dir=str(out),
+                      continue_from=str(wpath), log_fn=logs.append)
+    train_amt(model, tcfg, loop, train_ds, val_ds)
+    assert any("warmup" in m for m in logs), logs

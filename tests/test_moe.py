@@ -18,9 +18,10 @@ def _apply_glu_expert(params, e, x):
     return (h * jax.nn.silu(g)) @ w2 + b2
 
 
-def _naive_moe(variables, x, cfg):
-    """Reference-style loop: topk gate, softmax over selected, gathered
-    experts (model/moe.py:183-200)."""
+def _naive_moe(variables, x, cfg, t=1.0):
+    """Reference-style loop: topk gate, softmax over selected (optionally
+    temperature-divided, model/moe.py:288), gathered experts
+    (model/moe.py:183-200)."""
     p = variables["params"]
     gate_logits = x @ p["gate"]["kernel"] + p["gate"]["bias"]
     B, L, E = gate_logits.shape
@@ -31,7 +32,8 @@ def _naive_moe(variables, x, cfg):
         for l in range(L):
             logits = np.asarray(gate_logits[b, l])
             sel = np.argsort(-logits)[:k]
-            w = np.exp(logits[sel] - logits[sel].max())
+            z = logits[sel] / t
+            w = np.exp(z - z.max())
             w = w / w.sum()
             for wi, e in zip(w, sel):
                 out[b, l] += wi * np.asarray(
@@ -105,3 +107,65 @@ def test_topk_scheduler_anneals(rng):
     assert int(state["moe_state"]["sched_step"]) == 6
     counts = np.asarray(mutated["metrics"]["expert_counts"])
     assert counts.sum() == 3 * 2  # 3 tokens * k=2 at the last step
+
+
+def test_temperature_scheduler_train(rng):
+    """TemperatureScheduler (reference moe.py:84-97): t steps before use and
+    divides the routing softmax; plain MoELayer applies it in training only
+    (moe.py:174-176)."""
+    cfg = MoEConfig(n_experts=4, n_experts_per_token=2, expert="glu",
+                    shared_expert=False, temperature_schedule=True,
+                    temperature_min=0.5, temperature_max=2.0,
+                    temperature_step=0.25)
+    layer = MoELayer(cfg=cfg, d_model=8, d_ff=16, dropout_rate=0.0)
+    x = jnp.asarray(rng.standard_normal((2, 5, 8)).astype(np.float32))
+    variables = layer.init(jax.random.PRNGKey(0), x)
+    out, mutated = layer.apply(
+        variables, x, deterministic=False, mutable=["moe_state", "metrics"],
+        rngs={"dropout": jax.random.PRNGKey(1)})
+    assert int(mutated["moe_state"]["temp_step"]) == 1
+    # first training call: t = min + 1*step = 0.75
+    want = _naive_moe(variables, x, cfg, t=0.75)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-5)
+    # eval on the plain MoELayer: no step, no temperature
+    out_e, mutated2 = layer.apply(
+        variables, x, deterministic=True, mutable=["moe_state", "metrics"])
+    assert int(mutated2["moe_state"]["temp_step"]) == 0
+    np.testing.assert_allclose(np.asarray(out_e), _naive_moe(variables, x, cfg),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_temperature_scheduler_shared_steps_in_eval(rng):
+    """Quirk parity: SharedMoELayer steps/applies the temperature scheduler
+    during eval too (reference moe.py:238-240)."""
+    cfg = MoEConfig(n_experts=4, n_experts_per_token=2, expert="glu",
+                    shared_expert=True, temperature_schedule=True,
+                    temperature_min=0.5, temperature_max=2.0,
+                    temperature_step=0.25)
+    layer = MoELayer(cfg=cfg, d_model=8, d_ff=16, dropout_rate=0.0)
+    x = jnp.asarray(rng.standard_normal((1, 4, 8)).astype(np.float32))
+    variables = layer.init(jax.random.PRNGKey(0), x)
+    out, mutated = layer.apply(
+        variables, x, deterministic=True, mutable=["moe_state", "metrics"])
+    assert int(mutated["moe_state"]["temp_step"]) == 1
+    want = _naive_moe(variables, x, cfg, t=0.75)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-5)
+
+
+def test_temperature_clamps_at_max(rng):
+    cfg = MoEConfig(n_experts=4, n_experts_per_token=2, expert="glu",
+                    shared_expert=False, temperature_schedule=True,
+                    temperature_min=0.5, temperature_max=0.6,
+                    temperature_step=0.25)
+    layer = MoELayer(cfg=cfg, d_model=8, d_ff=16, dropout_rate=0.0)
+    x = jnp.asarray(rng.standard_normal((1, 3, 8)).astype(np.float32))
+    variables = layer.init(jax.random.PRNGKey(0), x)
+    state = variables
+    for step in range(3):
+        out, mutated = layer.apply(
+            state, x, deterministic=False, mutable=["moe_state", "metrics"],
+            rngs={"dropout": jax.random.PRNGKey(step)})
+        state = {**variables, "moe_state": mutated["moe_state"]}
+    # after 3 steps t would be 1.25 unclamped; must equal max=0.6
+    want = _naive_moe(variables, x, cfg, t=0.6)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-5)

@@ -107,3 +107,19 @@ def test_chord_lab_no_key_header_defaults_minor(tmp_path):
     p = _write(tmp_path, "nokey.lab", "0 C\n1 F\n")
     *_, key, _ = N.parse_chord_lab(p, 10)
     assert key == 1
+
+
+def test_emotion_lab_short_row_stays_line_bounded(tmp_path):
+    """A row with fewer than n_emotions values (e.g. a 5-class file read as
+    6-class) must leave missing columns at the PAD prefill instead of
+    consuming the next line's timestamp as a probability."""
+    p = _write(tmp_path, "short.lab",
+               "time a b c d e f\n"
+               "0 0.7 0.1 0.05 0.05 0.05\n"     # 5 values, not 6
+               "1 0.1 0.2 0.3 0.2 0.1 0.1\n")
+    got = N.parse_emotion_lab(p, 3, n_emotions=6)
+    # row 0: five parsed values + PAD in the missing sixth column
+    np.testing.assert_allclose(got[0, :5], [0.7, 0.1, 0.05, 0.05, 0.05])
+    assert got[0, 5] == C.EMOTION_PAD
+    # row 1 must be intact (its timestamp was NOT eaten by row 0)
+    np.testing.assert_allclose(got[1], [0.1, 0.2, 0.3, 0.2, 0.1, 0.1])

@@ -88,3 +88,19 @@ def test_flash_attention_gradients(rng):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
                                    atol=2e-5)
+
+
+def test_causal_requires_square():
+    """Causal masks are start-aligned in the kernel but end-aligned in the
+    jnp fallback/backward — only identical for L == S, so L != S must be
+    rejected loudly."""
+    import pytest
+    from video2music_tpu.ops.pallas_attention import flash_attention
+    from video2music_tpu.ops.pallas_attention_dropout import (
+        flash_attention_dropout)
+    q = jnp.zeros((1, 1, 4, 8))
+    k = v = jnp.zeros((1, 1, 6, 8))
+    with pytest.raises(ValueError, match="L == S"):
+        flash_attention(q, k, v, causal=True, interpret=True)
+    with pytest.raises(ValueError, match="L == S"):
+        flash_attention_dropout(q, k, v, causal=True, interpret=True)

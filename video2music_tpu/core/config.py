@@ -55,6 +55,16 @@ class MoEConfig:
     # train steps (reference: model/moe.py:66-82).
     topk_schedule: bool = False
     topk_update_step: int = 32
+    # Routing-softmax temperature annealing t: min -> max by +step per call
+    # (reference TemperatureScheduler, model/moe.py:84-97). Dead in the
+    # reference live path (always None, video_music_transformer.py:395,671);
+    # ported for completeness. Quirk kept: in SharedMoELayer the scheduler
+    # steps during eval too (moe.py:238-240); in plain MoELayer it is
+    # training-only (moe.py:174-176).
+    temperature_schedule: bool = False
+    temperature_min: float = 0.8
+    temperature_max: float = 1.1
+    temperature_step: float = 0.0005
 
 
 @dataclass(frozen=True)

@@ -4,10 +4,12 @@ Re-implements ``VevoDataset`` / ``create_vevo_datasets`` (reference:
 ``dataset/vevo_dataset.py:58-651``) as a pure-numpy pipeline. Differences by
 design, not behavior:
 
-  * samples are materialized lazily with an LRU-style cache instead of the
-    reference's eager load of the entire split at startup
-    (reference: vevo_dataset.py:187-191) — startup is O(1), steady-state
-    identical;
+  * samples are materialized lazily behind a bounded LRU cache instead of
+    the reference's eager load of the entire split at startup
+    (reference: vevo_dataset.py:187-191) — startup is O(1); the default
+    capacity (1024) holds every MuVi-Sync split (748 ids total) so
+    steady-state matches the eager load, while huge custom datasets stay
+    memory-bounded via ``cache_size``;
   * batches come out as dense numpy dicts ready for one host->device
     transfer, instead of per-tensor ``.to(device)`` copies
     (reference: run_model_vevo.py:31-45).
@@ -23,6 +25,7 @@ from __future__ import annotations
 
 import os
 import random
+from collections import OrderedDict
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -161,7 +164,8 @@ class VevoDataset:
                  emo_model: str = "6c_l14p", motion_type: int = 0,
                  max_seq_chord: int = C.MAX_SEQ_CHORD,
                  max_seq_video: int = C.MAX_SEQ_VIDEO,
-                 augmentation: bool = False, aug_seed: int = 0):
+                 augmentation: bool = False, aug_seed: int = 0,
+                 cache_size: int = 1024):
         self.root = dataset_root
         self.motion_type = motion_type
         self.max_seq_chord = max_seq_chord
@@ -201,7 +205,8 @@ class VevoDataset:
             )
             if all(os.path.exists(v) for v in p.values()):
                 self._paths.append((fid, p))
-        self._cache: Dict[int, Dict] = {}
+        self._cache: "OrderedDict[int, Dict]" = OrderedDict()
+        self._cache_size = max(1, int(cache_size))
         self._aug: List[tuple] = []
         if augmentation and len(self._paths) >= 2:
             # 2x mixup pairs, as in the reference (vevo_dataset.py:195-223)
@@ -218,13 +223,18 @@ class VevoDataset:
         return [fid for fid, _ in self._paths]
 
     def _base(self, idx: int) -> Dict:
-        if idx not in self._cache:
-            _, p = self._paths[idx]
-            self._cache[idx] = make_sample(
-                max_seq_chord=self.max_seq_chord,
-                max_seq_video=self.max_seq_video,
-                motion_type=self.motion_type, **p)
-        return self._cache[idx]
+        if idx in self._cache:
+            self._cache.move_to_end(idx)
+            return self._cache[idx]
+        _, p = self._paths[idx]
+        sample = make_sample(
+            max_seq_chord=self.max_seq_chord,
+            max_seq_video=self.max_seq_video,
+            motion_type=self.motion_type, **p)
+        self._cache[idx] = sample
+        while len(self._cache) > self._cache_size:
+            self._cache.popitem(last=False)
+        return sample
 
     def __getitem__(self, idx: int) -> Dict:
         n = len(self._paths)

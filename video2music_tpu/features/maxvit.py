@@ -86,19 +86,24 @@ class MBConv(nn.Module):
         mid = self.out_ch * self.expansion
         res = x
         if self.stride == 2:
-            res = nn.avg_pool(res, (3, 3), strides=(2, 2), padding="SAME")
+            # torch AvgPool2d(3, stride 2, padding 1, count_include_pad) —
+            # explicit (1, 1) padding; XLA "SAME" would pad (0, 1) and shift
+            # every window by one pixel.
+            res = nn.avg_pool(res, (3, 3), strides=(2, 2),
+                              padding=((1, 1), (1, 1)),
+                              count_include_pad=True)
             res = nn.Conv(self.out_ch, (1, 1), name="down_proj")(res)
         elif self.in_ch != self.out_ch:
             res = nn.Conv(self.out_ch, (1, 1), name="down_proj")(res)
         h = FoldedBN(self.in_ch, name="pre_norm")(x)
         h = nn.Conv(mid, (1, 1), use_bias=False, name="conv_a")(h)
         h = FoldedBN(mid, name="bn_a")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = nn.Conv(mid, (3, 3), strides=(self.stride, self.stride),
-                    padding="SAME", feature_group_count=mid, use_bias=False,
-                    name="conv_b")(h)
+                    padding=((1, 1), (1, 1)), feature_group_count=mid,
+                    use_bias=False, name="conv_b")(h)
         h = FoldedBN(mid, name="bn_b")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = SqueezeExcite(mid, max(1, int(self.out_ch * self.se_ratio)),
                           name="se")(h)
         h = nn.Conv(self.out_ch, (1, 1), name="conv_proj")(h)
@@ -127,35 +132,39 @@ class PartitionAttention(nn.Module):
         B, H, W, C = x.shape
         p = self.partition
         heads = C // self.head_dim
+        n_tok = p * p  # attention ALWAYS runs over p*p tokens (see below)
+
+        # torchvision (0.18, models/maxvit.py PartitionAttentionLayer)
+        # partitions with window size p in window mode, and with window size
+        # g = H//p in grid mode followed by a (-2, -3) axis swap — so grid
+        # attention attends over the p*p grid positions (tokens strided by
+        # g across the image), with g*g groups. Both modes therefore share
+        # the ((2p-1)^2, heads) relative-position-bias table.
+        g = H // p
 
         def to_windows(t):
-            t = t.reshape(B, H // p, p, W // p, p, C)
             if self.grid:
-                # grid partition: tokens strided across the image
-                t = t.transpose(0, 2, 4, 1, 3, 5)  # (B,p,p,H/p,W/p,C)
-                return t.reshape(B * p * p, (H // p) * (W // p), C)
+                # axes: (B, h//g, h%g, w//g, w%g, C) -> groups (h%g, w%g),
+                # tokens (h//g, w//g) == the swapped torchvision layout
+                t = t.reshape(B, p, g, p, g, C)
+                t = t.transpose(0, 2, 4, 1, 3, 5)  # (B, g, g, p, p, C)
+                return t.reshape(B * g * g, p * p, C)
+            t = t.reshape(B, H // p, p, W // p, p, C)
             t = t.transpose(0, 1, 3, 2, 4, 5)
             return t.reshape(B * (H // p) * (W // p), p * p, C)
 
         def from_windows(t):
             if self.grid:
-                t = t.reshape(B, p, p, H // p, W // p, C)
-                t = t.transpose(0, 3, 1, 4, 2, 5)
+                t = t.reshape(B, g, g, p, p, C)
+                t = t.transpose(0, 3, 1, 4, 2, 5)  # (B, p, g, p, g, C)
             else:
                 t = t.reshape(B, H // p, W // p, p, p, C)
                 t = t.transpose(0, 1, 3, 2, 4, 5)
             return t.reshape(B, H, W, C)
 
-        # NOTE: torchvision swaps window-length axes for grid attention such
-        # that attention always runs over a (p*p)-token axis; for grid mode
-        # the "window" is the (H/p)*(W/p) stride grid only when H==W==p*k
-        # with k==p. At 224 input every stage has H=W in {56,28,14,7} and
-        # p=7, so the grid length is (H/p)^2 and bias tables are sized to p.
-        # We therefore require H//p == p or use the actual grid length.
         shortcut = x
         h = nn.LayerNorm(epsilon=1e-5, name="ln1")(x)
         w = to_windows(h)
-        n_tok = w.shape[1]
         qkv = nn.Dense(3 * C, name="qkv")(w)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         split = lambda t: t.reshape(t.shape[0], n_tok, heads,
@@ -163,12 +172,13 @@ class PartitionAttention(nn.Module):
         q, k, v = split(q), split(k), split(v)
         logits = jnp.einsum("bhld,bhsd->bhls", q, k,
                             preferred_element_type=jnp.float32)
-        logits = logits * (self.head_dim ** -0.5)
-        side = int(round(np.sqrt(n_tok)))
+        # torchvision scales by the FULL channel dim (feat_dim ** -0.5
+        # applied to K), not per-head
+        logits = logits * (C ** -0.5)
         bias_table = self.param(
             "rel_bias", nn.initializers.normal(0.02),
-            ((2 * side - 1) ** 2, heads))
-        idx = jnp.asarray(_rel_position_index(side).reshape(-1))
+            ((2 * p - 1) ** 2, heads))
+        idx = jnp.asarray(_rel_position_index(p).reshape(-1))
         bias = bias_table[idx].reshape(n_tok, n_tok, heads)
         logits = logits + bias.transpose(2, 0, 1)[None]
         attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
@@ -179,7 +189,7 @@ class PartitionAttention(nn.Module):
 
         h = nn.LayerNorm(epsilon=1e-5, name="ln2")(x)
         h = nn.Dense(C * self.mlp_ratio, name="fc1")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(C, name="fc2")(h)
         return x + h
 
@@ -191,11 +201,12 @@ class MaxViT(nn.Module):
     @nn.compact
     def __call__(self, pixels):
         c = self.cfg
-        x = nn.Conv(c.stem_channels, (3, 3), strides=(2, 2), padding="SAME",
-                    use_bias=False, name="stem_conv1")(pixels)
+        x = nn.Conv(c.stem_channels, (3, 3), strides=(2, 2),
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    name="stem_conv1")(pixels)
         x = FoldedBN(c.stem_channels, name="stem_bn")(x)
-        x = nn.gelu(x)
-        x = nn.Conv(c.stem_channels, (3, 3), padding="SAME",
+        x = nn.gelu(x, approximate=False)
+        x = nn.Conv(c.stem_channels, (3, 3), padding=((1, 1), (1, 1)),
                     name="stem_conv2")(x)
         in_ch = c.stem_channels
         for s, (ch, depth) in enumerate(zip(c.channels, c.depths)):
@@ -214,7 +225,8 @@ class MaxViT(nn.Module):
         if self.num_classes:
             h = nn.LayerNorm(epsilon=1e-5, name="head_ln")(feats)
             h = jnp.tanh(nn.Dense(feats.shape[-1], name="head_fc")(h))
-            return nn.Dense(self.num_classes, name="head_out")(h)
+            return nn.Dense(self.num_classes, use_bias=False,
+                            name="head_out")(h)
         return feats
 
 
@@ -229,7 +241,7 @@ def preprocess_diff_frames(frames: np.ndarray,
     for i, frame in enumerate(frames):
         im = Image.fromarray(frame)
         w, h = im.size
-        scale = (image_size + 8) / min(w, h)  # resize_size=232 for 224 crop
+        scale = image_size / min(w, h)  # MaxVit_T transforms: resize_size=224
         im = im.resize((int(round(w * scale)), int(round(h * scale))),
                        Image.BICUBIC)
         w, h = im.size
@@ -274,13 +286,15 @@ def scalar_motion(frame_pairs: list) -> np.ndarray:
 # torchvision weight conversion (run where torchvision + weights exist)
 # ---------------------------------------------------------------------------
 
-def _fold_bn(sd, prefix):
-    """BatchNorm running stats -> inference scale/bias."""
+def _fold_bn(sd, prefix, eps=1e-3):
+    """BatchNorm running stats -> inference scale/bias. MaxVit constructs
+    its BatchNorm2d with eps=1e-3 (torchvision MaxVit.__init__ default),
+    not the torch-wide 1e-5."""
     w = np.asarray(sd[prefix + ".weight"])
     b = np.asarray(sd[prefix + ".bias"])
     mean = np.asarray(sd[prefix + ".running_mean"])
     var = np.asarray(sd[prefix + ".running_var"])
-    scale = w / np.sqrt(var + 1e-5)
+    scale = w / np.sqrt(var + eps)
     return {"scale": scale, "bias": b - mean * scale}
 
 

@@ -162,6 +162,27 @@ class MoELayer(nn.Module):
         # experts (reference uses gather(gate_logits) when balancing,
         # moe.py:265-267; unbiased logits otherwise)
         masked = jnp.where(selected, gate_logits, -jnp.inf)
+
+        # -- TemperatureScheduler (reference moe.py:84-97): anneal the
+        # routing-softmax temperature t from min to max by +step per call.
+        # Dead in the reference live path (always None); quirk kept: the
+        # SharedMoELayer steps/applies it during eval too (moe.py:238-240),
+        # the plain MoELayer is training-only (moe.py:174-176). Division by
+        # a positive scalar never changes the top-k selection, so only the
+        # softmax sees t — same math as both reference layers.
+        if cfg.temperature_schedule:
+            t_var = self.variable("moe_state", "temp_step",
+                                  lambda: jnp.zeros((), jnp.int32))
+            applies = is_training or cfg.shared_expert
+            if applies and not self.is_initializing():
+                t_var.value = t_var.value + 1  # step() before getT()
+            if applies:
+                t = jnp.minimum(
+                    cfg.temperature_min
+                    + t_var.value.astype(jnp.float32) * cfg.temperature_step,
+                    cfg.temperature_max)
+                masked = masked / t
+
         weights = jax.nn.softmax(masked, axis=-1)  # zeros at unselected
 
         # -- dense expert evaluation & combine --

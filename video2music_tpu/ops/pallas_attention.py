@@ -80,6 +80,12 @@ def flash_attention(q, k, v, *, bias=None, causal: bool = False,
     Returns:
       (B, H, L, D) attention output in q's dtype.
     """
+    if causal and q.shape[2] != k.shape[2]:
+        # The Pallas kernel's causal mask is start-aligned while the jnp
+        # fallback/backward is end-aligned; they only agree when L == S.
+        raise ValueError(
+            f"causal flash_attention requires L == S, got L={q.shape[2]} "
+            f"S={k.shape[2]} (use an explicit bias mask for L != S)")
     if bias is None:
         return _flash_nobias(q, k, v, causal, interpret)
     return _flash_bias(q, k, v, bias, causal, interpret)

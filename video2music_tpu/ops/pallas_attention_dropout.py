@@ -306,6 +306,12 @@ def flash_attention_dropout(q, k, v, *, bias=None, causal=False,
     """Training-path fused attention: softmax + dropout + output in one
     kernel, full Pallas backward with mask replay. ``seed`` is an int32
     scalar (array or python int) deriving the dropout mask."""
+    if causal and q.shape[2] != k.shape[2]:
+        # Same L == S requirement as flash_attention: the kernel's causal
+        # mask is start-aligned, the jnp fallback is end-aligned.
+        raise ValueError(
+            f"causal flash_attention_dropout requires L == S, got "
+            f"L={q.shape[2]} S={k.shape[2]}")
     if bias is None:
         return _fa_nobias(q, k, v, seed, causal, float(dropout_rate),
                           interpret)

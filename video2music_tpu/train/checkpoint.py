@@ -37,11 +37,17 @@ def save_checkpoint(path: str, state, *, params_only: bool = False,
             json.dump(config_json, f, indent=2, default=str)
 
 
-def restore_checkpoint(path: str, target_state):
+def restore_checkpoint(path: str, target_state, *, return_full: bool = False):
     """Restore into the structure of ``target_state`` (a freshly created
     TrainState). Falls back to params-only when the stored optimizer/step
     structure doesn't match the target (e.g. weights-only checkpoints, or
-    eval restoring a state trained with a different optimizer)."""
+    eval restoring a state trained with a different optimizer).
+
+    With ``return_full=True`` returns ``(state, was_full_restore)`` so
+    callers can tell the exact-resume path from the params-only fallback
+    (where optimizer state and the step counter restart at 0 — the LR
+    schedule must then be offset, reference: train.py:188-193).
+    """
     p = _path(path)
     full = {"params": target_state.params,
             "moe_state": target_state.moe_state,
@@ -50,14 +56,15 @@ def restore_checkpoint(path: str, target_state):
     try:
         with ocp.StandardCheckpointer() as ckptr:
             restored = ckptr.restore(p, full)
-        return target_state.replace(**restored)
+        state, was_full = target_state.replace(**restored), True
     except Exception:
         with ocp.PyTreeCheckpointer() as ckptr:
             restored = ckptr.restore(
                 p, args=ocp.args.PyTreeRestore(
                     item={"params": target_state.params},
                     partial_restore=True))
-        return target_state.replace(params=restored["params"])
+        state, was_full = target_state.replace(params=restored["params"]), False
+    return (state, was_full) if return_full else state
 
 
 def load_params(path: str, params_like):

@@ -76,7 +76,27 @@ class LoopConfig:
     eval_train_subset: bool = True   # skipped when augmentation is on
     seed: int = 0
     continue_from: Optional[str] = None
+    # LR-schedule offset for weights-only resumes (the reference's
+    # init_step = epoch * len(loader), train.py:188-193). Ignored on a full
+    # TrainState restore, whose own step counter already carries the offset.
+    init_steps: int = 0
     log_fn: Callable[[str], None] = print
+
+
+def _restore_continue(loop: LoopConfig, state, tcfg: TrainConfig):
+    """continue_from restore with LR-schedule awareness: a params-only
+    fallback restarts optimizer state/step at 0, so unless the caller
+    offset the schedule via LoopConfig.init_steps the Noam warmup silently
+    restarts — surface that instead of hiding it."""
+    state, full = ckpt.restore_checkpoint(loop.continue_from, state,
+                                          return_full=True)
+    if not full and loop.init_steps == 0 and tcfg.lr is None:
+        loop.log_fn(
+            "warning: params-only checkpoint restore from "
+            f"{loop.continue_from!r} — optimizer state and the Noam warmup "
+            "restarted at step 0; set LoopConfig.init_steps to offset the "
+            "LR schedule (reference train.py:188-193 semantics)")
+    return state
 
 
 def _epoch_pass(step_fn, state, batches_iter, device_put=None):
@@ -108,12 +128,13 @@ def train_amt(model, tcfg: TrainConfig, loop: LoopConfig, train_ds, val_ds,
     weights_dir = os.path.join(loop.output_dir, "weights")
     os.makedirs(weights_dir, exist_ok=True)
 
-    tx = make_optimizer(tcfg, d_model=model.cfg.d_model)
+    tx = make_optimizer(tcfg, d_model=model.cfg.d_model,
+                        init_steps=loop.init_steps)
     first = next(make_batches(train_ds, loop.batch_size, shuffle=False))
     state = create_train_state(model, tx, jax.random.PRNGKey(tcfg.seed),
                                first)
     if loop.continue_from:
-        state = ckpt.restore_checkpoint(loop.continue_from, state)
+        state = _restore_continue(loop, state, tcfg)
 
     train_step = jax.jit(make_amt_train_step(model, tx, tcfg,
                                              drop_loss=drop_loss))
@@ -178,12 +199,13 @@ def train_regression(model, tcfg: TrainConfig, loop: LoopConfig, train_ds,
     weights_dir = os.path.join(loop.output_dir, "weights")
     os.makedirs(weights_dir, exist_ok=True)
 
-    tx = make_optimizer(tcfg, d_model=model.cfg.d_model)
+    tx = make_optimizer(tcfg, d_model=model.cfg.d_model,
+                        init_steps=loop.init_steps)
     first = next(make_batches(train_ds, loop.batch_size, shuffle=False))
     state = create_train_state(model, tx, jax.random.PRNGKey(tcfg.seed),
                                first, init_fn=regression_init)
     if loop.continue_from:
-        state = ckpt.restore_checkpoint(loop.continue_from, state)
+        state = _restore_continue(loop, state, tcfg)
 
     train_step = jax.jit(make_regression_train_step(model, tx, tcfg))
     eval_step = jax.jit(make_regression_eval_step(model))
@@ -243,12 +265,13 @@ def train_music_transformer(model, tcfg: TrainConfig, loop: LoopConfig,
     weights_dir = os.path.join(loop.output_dir, "weights")
     os.makedirs(weights_dir, exist_ok=True)
 
-    tx = make_optimizer(tcfg, d_model=model.cfg.d_model)
+    tx = make_optimizer(tcfg, d_model=model.cfg.d_model,
+                        init_steps=loop.init_steps)
     first = next(make_batches(train_ds, loop.batch_size, shuffle=False))
     state = create_train_state(model, tx, jax.random.PRNGKey(tcfg.seed),
                                first, init_fn=music_transformer_init)
     if loop.continue_from:
-        state = ckpt.restore_checkpoint(loop.continue_from, state)
+        state = _restore_continue(loop, state, tcfg)
 
     train_step = jax.jit(make_music_transformer_train_step(model, tx, tcfg))
     eval_step = jax.jit(make_music_transformer_eval_step(model, tcfg))

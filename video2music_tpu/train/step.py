@@ -159,9 +159,9 @@ def make_amt_train_step(model, tx, tcfg: TrainConfig, drop_loss: bool = False):
             else:
                 total, (lc, le) = amt_loss(
                     logits, batch, tcfg, rng=(l_rng if drop_loss else None))
-            return total, (lc, le, mutated)
+            return total, (total, lc, le, mutated)
 
-        grads, (lc, le, mutated) = jax.grad(
+        grads, (total, lc, le, mutated) = jax.grad(
             loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -169,8 +169,10 @@ def make_amt_train_step(model, tx, tcfg: TrainConfig, drop_loss: bool = False):
             step=state.step + 1, params=params,
             moe_state=mutated.get("moe_state", state.moe_state),
             opt_state=opt_state, rng=rng)
-        metrics = {"loss_chord": lc, "loss_emotion": le,
-                   "loss": tcfg.loss_lambda * lc + (1 - tcfg.loss_lambda) * le}
+        # "loss" is the value actually optimized this step (for separated
+        # models the -1.0 loss_emotion sentinel must not leak into it, and
+        # under drop_loss the optimized branch may be chord- or emotion-only).
+        metrics = {"loss": total, "loss_chord": lc, "loss_emotion": le}
         return new_state, metrics
 
     return train_step
