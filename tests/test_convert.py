@@ -301,3 +301,256 @@ def test_v2_full_tree_structure(rng):
         sorted(set(want) ^ set(got))[:8])
     for k in want:
         assert want[k] == got[k], (k, want[k], got[k])
+
+
+class _TorchDiffAttn(torch.nn.Module):
+    """Mirror of DifferentialMultiheadAttention (reference
+    custom_transformer.py:610-832) with the documented reshape fix applied
+    (transpose-then-reshape; the upstream view scrambles positions, see
+    ops/attention.py module docstring). Batch-first, causal, no RoPE."""
+
+    def __init__(self, d, heads, depth):
+        super().__init__()
+        hd = d // heads
+        self.heads, self.hd = heads, hd
+        self.q_proj = torch.nn.Linear(d, 2 * d, bias=False)
+        self.k_proj = torch.nn.Linear(d, 2 * d, bias=False)
+        self.v_proj = torch.nn.Linear(d, d, bias=False)
+        self.out_proj = torch.nn.Linear(d, d, bias=False)
+        self.lambda_q1 = torch.nn.Parameter(torch.randn(hd) * 0.1)
+        self.lambda_k1 = torch.nn.Parameter(torch.randn(hd) * 0.1)
+        self.lambda_q2 = torch.nn.Parameter(torch.randn(hd) * 0.1)
+        self.lambda_k2 = torch.nn.Parameter(torch.randn(hd) * 0.1)
+        self.subln = torch.nn.RMSNorm(hd, eps=1e-5)
+        from video2music_tpu.ops.attention import lambda_init_fn
+        self.lambda_init = lambda_init_fn(depth)
+
+    def forward(self, x):
+        B, L, D = x.shape
+        H, hd = self.heads, self.hd
+        q = self.q_proj(x).view(B, L, 2 * H, hd).transpose(1, 2)
+        k = self.k_proj(x).view(B, L, 2 * H, hd).transpose(1, 2)
+        v = self.v_proj(x).view(B, L, H, hd).transpose(1, 2)
+        q = q * hd ** -0.5
+        w = torch.matmul(q, k.transpose(-1, -2))
+        mask = torch.triu(torch.full((L, L), float("-inf")), 1)
+        w = torch.softmax(w + mask, dim=-1, dtype=torch.float32).type_as(w)
+        lam = (torch.exp(torch.sum(self.lambda_q1 * self.lambda_k1))
+               - torch.exp(torch.sum(self.lambda_q2 * self.lambda_k2))
+               + self.lambda_init)
+        w = w.view(B, H, 2, L, L)
+        w = w[:, :, 0] - lam * w[:, :, 1]
+        attn = torch.matmul(w, v)               # (B, H, L, hd)
+        attn = self.subln(attn) * (1 - self.lambda_init)
+        attn = attn.transpose(1, 2).reshape(B, L, D)
+        return self.out_proj(attn)
+
+
+def test_v3_differential_attention_parity():
+    """_diff_mha converter vs a live torch differential-attention mirror:
+    validates projections, lambda wiring, subln, pairing order."""
+    from video2music_tpu.ops.attention import MultiHeadAttention
+    from video2music_tpu.train.convert import _diff_mha
+
+    torch.manual_seed(5)
+    d, heads, depth, L = 16, 2, 3, 9
+    t = _TorchDiffAttn(d, heads, depth).eval()
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, L, d)).astype(np.float32)
+    with torch.no_grad():
+        want = t(torch.from_numpy(x)).numpy()
+
+    cfg = AttentionConfig(num_heads=heads, kind="differential", bias=False,
+                          rope=False)
+    attn = MultiHeadAttention(cfg=cfg, d_model=d, depth=depth,
+                              dropout_rate=0.0)
+    params = _diff_mha(t.state_dict(), "")
+    got = attn.apply({"params": params}, jnp.asarray(x), causal=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-5)
+
+
+def _synthetic_v1_sd(rng, version, d, ff, heads, n_layers, E, vf):
+    from video2music_tpu.core import constants as CC
+
+    f = lambda *shape: rng.standard_normal(shape).astype(np.float32)
+    sd = {
+        "embedding_root.weight": f(CC.CHORD_ROOT_SIZE, d),
+        "embedding_attr.weight": f(CC.CHORD_ATTR_SIZE, d),
+        "Linear_chord.weight": f(d, d + 1), "Linear_chord.bias": f(d),
+        "Linear_vis.weight": f(d, vf), "Linear_vis.bias": f(d),
+        "Wout.weight": f(CC.CHORD_SIZE, d), "Wout.bias": f(CC.CHORD_SIZE),
+        "positional_embedding.weight": f(12, d),
+        "positional_embedding_video.weight": f(12, d),
+        "transformer.encoder.norm.weight": f(d),
+        "transformer.encoder.norm.bias": f(d),
+        "transformer.decoder.norm.weight": f(d),
+        "transformer.decoder.norm.bias": f(d),
+    }
+
+    def add_mha(p):
+        sd[p + ".in_proj_weight"] = f(3 * d, d)
+        sd[p + ".in_proj_bias"] = f(3 * d)
+        sd[p + ".out_proj.weight"] = f(d, d)
+        sd[p + ".out_proj.bias"] = f(d)
+
+    def add_glu(p):
+        for name, (o, i) in (("linear1", (ff, d)), ("gate", (ff, d)),
+                             ("linear2", (d, ff))):
+            sd[f"{p}.{name}.weight"] = f(o, i)
+            sd[f"{p}.{name}.bias"] = f(o)
+
+    def add_mlp(p):
+        sd[p + ".0.weight"] = f(2 * d, d)
+        sd[p + ".0.bias"] = f(2 * d)
+        sd[p + ".3.weight"] = f(d, 2 * d)
+        sd[p + ".3.bias"] = f(d)
+
+    glu = version in ("1.1", "1.3")
+    shared = version not in ("1.0", "1.1", "1.3.4")
+    split = version in ("1.3.3", "1.3.4")
+    rate = min(3, max(0, n_layers - 1))
+    add_expert = add_glu if glu else add_mlp
+
+    def add_moe(p):
+        sd[p + ".gate.weight"] = f(E, d)
+        sd[p + ".gate.bias"] = f(E)
+        for e in range(E):
+            add_expert(f"{p}.experts.{e}")
+        if shared:
+            add_expert(p + ".shared_expert")
+
+    for i in range(n_layers):
+        add_ff = add_glu if (split and i < rate) else add_moe
+        e = f"transformer.encoder.layers.{i}"
+        add_mha(e + ".self_attn")
+        add_ff(e + ".ff")
+        for nrm in ("norm1", "norm2"):
+            sd[f"{e}.{nrm}.weight"] = f(d)
+            sd[f"{e}.{nrm}.bias"] = f(d)
+        dd = f"transformer.decoder.layers.{i}"
+        add_mha(dd + ".self_attn")
+        add_mha(dd + ".cross_attn")
+        add_ff(dd + ".ff")
+        for nrm in ("norm1", "norm2", "norm3"):
+            sd[f"{dd}.{nrm}.weight"] = f(d)
+            sd[f"{dd}.{nrm}.bias"] = f(d)
+    return sd
+
+
+def _init_amt(cfg):
+    from video2music_tpu.models import VideoMusicTransformer
+
+    model = VideoMusicTransformer(cfg=cfg)
+    return model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 11), jnp.int32), jnp.zeros((1, 11), jnp.int32),
+        jnp.zeros((1, 11), jnp.int32),
+        jnp.zeros((1, 12, 7), jnp.float32), jnp.zeros((1, 1), jnp.float32),
+        jnp.zeros((1, 12), jnp.float32), jnp.zeros((1, 12), jnp.float32),
+        jnp.zeros((1, 12, 2), jnp.float32))
+
+
+def _assert_same_tree(init_params, params):
+    import jax.tree_util as jtu
+
+    want = {jtu.keystr(p): v.shape
+            for p, v in jtu.tree_leaves_with_path(init_params)}
+    got = {jtu.keystr(p): np.asarray(v).shape
+           for p, v in jtu.tree_leaves_with_path(params)}
+    assert sorted(want) == sorted(got), sorted(set(want) ^ set(got))[:8]
+    for k in want:
+        assert want[k] == got[k], (k, want[k], got[k])
+
+
+@pytest.mark.parametrize("version", ["1.0", "1.1", "1.2", "1.3.4"])
+def test_v1_full_tree_structure(rng, version):
+    """convert_reference_amt_v1 produces EXACTLY the param tree of
+    VideoMusicTransformer(amt_config('1.x')) for each expert/shared
+    combination."""
+    from video2music_tpu.train.convert import convert_reference_amt_v1
+
+    d, ff, heads, n_layers, E, vf = 16, 32, 2, 4, 6, 11
+    cfg = amt_config(version, n_layers=n_layers, num_heads=heads, d_model=d,
+                     d_ff=ff, dropout=0.0, max_seq_video=12,
+                     max_seq_chord=12, total_vf_dim=vf)
+    init = _init_amt(cfg)
+    sd = _synthetic_v1_sd(rng, version, d, ff, heads, n_layers, E, vf)
+    params = convert_reference_amt_v1(sd, version, n_layers=n_layers,
+                                      n_experts=E)
+    _assert_same_tree(init["params"], params)
+
+
+def test_v3_full_tree_structure(rng):
+    """convert_reference_amt_v3 + convert_reference_moe_state produce the
+    param and moe_state trees of amt_config('3.1')."""
+    import jax.tree_util as jtu
+
+    from video2music_tpu.core import constants as CC
+    from video2music_tpu.train.convert import (convert_reference_amt_v3,
+                                               convert_reference_moe_state)
+
+    d, ff, heads, n_layers, E, vf = 16, 32, 2, 4, 6, 11
+    cfg = amt_config("3.1", n_layers=n_layers, num_heads=heads, d_model=d,
+                     d_ff=ff, dropout=0.0, max_seq_video=12,
+                     max_seq_chord=12, total_vf_dim=vf)
+    variables = _init_amt(cfg)
+
+    f = lambda *shape: rng.standard_normal(shape).astype(np.float32)
+    sd = {
+        "embedding_root.weight": f(CC.CHORD_ROOT_SIZE, d),
+        "embedding_attr.weight": f(CC.CHORD_ATTR_SIZE, d),
+        "Linear_chord.weight": f(d, d + 1), "Linear_chord.bias": f(d),
+        "Linear_vis.weight": f(d, vf), "Linear_vis.bias": f(d),
+        "Wout.weight": f(CC.CHORD_SIZE, d), "Wout.bias": f(CC.CHORD_SIZE),
+        "transformer.encoder.norm.weight": f(d),
+        "transformer.decoder.norm.weight": f(d),
+    }
+    hd = d // heads
+
+    def add_diff(p):
+        sd[p + ".q_proj.weight"] = f(2 * d, d)
+        sd[p + ".k_proj.weight"] = f(2 * d, d)
+        sd[p + ".v_proj.weight"] = f(d, d)
+        sd[p + ".out_proj.weight"] = f(d, d)
+        for lam in ("lambda_q1", "lambda_k1", "lambda_q2", "lambda_k2"):
+            sd[f"{p}.{lam}"] = f(hd)
+        sd[p + ".subln.weight"] = f(hd)
+
+    def add_glu(p):
+        for name, (o, i) in (("linear1", (ff, d)), ("gate", (ff, d)),
+                             ("linear2", (d, ff))):
+            sd[f"{p}.{name}.weight"] = f(o, i)
+            sd[f"{p}.{name}.bias"] = f(o)
+
+    def add_moe(p):
+        sd[p + ".gate.weight"] = f(E, d)
+        sd[p + ".gate.bias"] = f(E)
+        for e in range(E):
+            add_glu(f"{p}.experts.{e}")
+        add_glu(p + ".shared_expert")
+        sd[p + ".bias"] = f(E, 1)  # balancing buffer
+
+    rate = min(3, n_layers - 1)
+    for i in range(n_layers):
+        e = f"transformer.encoder.layers.{i}"
+        add_diff(e + ".self_attn")
+        (add_glu if i < rate else add_moe)(e + ".ff")
+        sd[e + ".norm1.weight"] = f(d)
+        sd[e + ".norm2.weight"] = f(d)
+        dd = f"transformer.decoder.layers.{i}"
+        add_diff(dd + ".self_attn")
+        add_diff(dd + ".cross_attn")
+        (add_glu if i < rate else add_moe)(dd + ".ff")
+        for nrm in ("norm1", "norm2", "norm3"):
+            sd[f"{dd}.{nrm}.weight"] = f(d)
+
+    params = convert_reference_amt_v3(sd, "3.1", n_layers=n_layers,
+                                      n_experts=E)
+    _assert_same_tree(variables["params"], params)
+
+    moe_state = convert_reference_moe_state(sd, n_layers=n_layers)
+    want = {jtu.keystr(p): v.shape for p, v in
+            jtu.tree_leaves_with_path(variables["moe_state"])}
+    got = {jtu.keystr(p): np.asarray(v).shape for p, v in
+           jtu.tree_leaves_with_path(moe_state)}
+    assert sorted(want) == sorted(got), sorted(set(want) ^ set(got))[:8]

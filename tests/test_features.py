@@ -176,3 +176,103 @@ def test_midi_reader_tempo_change(tmp_path):
         m.writeFile(f)
     md = read_midi(str(p))
     np.testing.assert_allclose(md.notes[0].start, 2.0, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Scene detection: independent stateful transcription of scenedetect 0.6.1's
+# AdaptiveDetector loop (golden oracle; reference usage video2music.py:211-237)
+# ---------------------------------------------------------------------------
+
+def _oracle_adaptive_detector(scores, adaptive_threshold=3.0,
+                              min_scene_len=15, window_width=2,
+                              min_content_val=15.0):
+    """Per-frame buffer loop exactly as scenedetect 0.6.1 processes frames:
+    buffer 2w+1 scores, decide for the middle frame, ratio capped at 255,
+    zero-average fallback, first cut exempt from min_scene_len."""
+    buf = []
+    required = 1 + 2 * window_width
+    last_cut = None
+    cuts = []
+    for frame_num, score in enumerate(scores):
+        buf.append((frame_num, float(score)))
+        if len(buf) < required:
+            continue
+        buf = buf[-required:]
+        target_frame, target_score = buf[window_width]
+        avg = sum(s for i, (_, s) in enumerate(buf)
+                  if i != window_width) / (2.0 * window_width)
+        if abs(avg) < 0.00001:
+            ratio = 255.0 if target_score >= min_content_val else 0.0
+        else:
+            ratio = min(target_score / avg, 255.0)
+        if ratio >= adaptive_threshold and target_score >= min_content_val:
+            if last_cut is None or target_frame - last_cut >= min_scene_len:
+                cuts.append(target_frame)
+                last_cut = target_frame
+    return cuts
+
+
+def _clip_hard_cuts(rng, T=90, cuts_at=(30, 60)):
+    """Static color blocks with hard cuts (no noise: HSV hue of noisy
+    near-constant colors is unstable and would swamp the adaptive ratio —
+    static blocks exercise the zero-average -> ratio-255 fallback exactly
+    like a tripod shot)."""
+    colors = [(200, 30, 30), (30, 200, 30), (30, 30, 200)]
+    frames = np.zeros((T, 24, 32, 3), np.uint8)
+    seg = 0
+    for t in range(T):
+        if seg < len(cuts_at) and t >= cuts_at[seg]:
+            seg += 1
+        frames[t] = np.array(colors[seg % len(colors)], np.uint8)
+    return frames
+
+
+def _clip_fade(rng, T=60):
+    """Slow luminance fade — high total change but spread over frames, so
+    the adaptive ratio must NOT fire."""
+    frames = np.zeros((T, 24, 32, 3), np.uint8)
+    for t in range(T):
+        v = int(40 + 170 * t / (T - 1))
+        frames[t] = v
+    return frames
+
+
+def _clip_flash(rng, T=60, flash_at=25):
+    """Single white flash frame: two large deltas close together — 0.6.1
+    fires on the flash onset (the return frame is inside min_scene_len)."""
+    frames = _clip_hard_cuts(rng, T, cuts_at=())
+    frames[flash_at] = 255
+    return frames
+
+
+def test_scene_detector_matches_0_6_1_oracle(rng):
+    for clip in (_clip_hard_cuts(rng), _clip_fade(rng), _clip_flash(rng),
+                 rng.integers(0, 255, (50, 24, 32, 3)).astype(np.uint8)):
+        scores = content_scores(clip, downscale=False)
+        want = _oracle_adaptive_detector(scores)
+        got = detect_cuts(clip)
+        assert got == want, (got, want)
+
+
+def test_scene_detector_hard_cuts_found(rng):
+    clip = _clip_hard_cuts(rng, T=90, cuts_at=(30, 60))
+    assert detect_cuts(clip) == [30, 60]
+
+
+def test_scene_detector_fade_no_cut(rng):
+    assert detect_cuts(_clip_fade(rng)) == []
+
+
+def test_scene_detector_min_scene_len(rng):
+    # cuts 10 frames apart: only the first fires (min_scene_len=15), both
+    # fire when the minimum is lowered
+    clip = _clip_hard_cuts(rng, T=60, cuts_at=(20, 30))
+    assert detect_cuts(clip) == [20]
+    assert detect_cuts(clip, min_scene_len=5) == [20, 30]
+
+
+def test_scene_detector_edge_frames_never_cut(rng):
+    # a hard cut inside the first window_width frames is invisible to the
+    # 0.6.1 buffer logic (decision starts at the first full window)
+    clip = _clip_hard_cuts(rng, T=30, cuts_at=(1,))
+    assert detect_cuts(clip) == []

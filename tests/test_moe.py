@@ -169,3 +169,78 @@ def test_temperature_clamps_at_max(rng):
     # after 3 steps t would be 1.25 unclamped; must equal max=0.6
     want = _naive_moe(variables, x, cfg, t=0.6)
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-5)
+
+
+def test_gathered_decode_path_matches_dense(rng):
+    """Single-token eval (B*L*k < E) takes the gathered-expert fast path;
+    it must agree with the dense dispatch and the naive loop exactly."""
+    cfg = MoEConfig(n_experts=6, n_experts_per_token=2, expert="glu",
+                    shared_expert=True)
+    layer = MoELayer(cfg=cfg, d_model=8, d_ff=16, dropout_rate=0.0)
+    x_full = jnp.asarray(rng.standard_normal((1, 5, 8)).astype(np.float32))
+    variables = layer.init(jax.random.PRNGKey(0), x_full)
+    # one token at a time (gathered) vs the whole sequence (dense)
+    dense, _ = layer.apply(variables, x_full, mutable=["metrics"])
+    for t in range(5):
+        got, mut = layer.apply(variables, x_full[:, t:t + 1],
+                               mutable=["metrics"])
+        np.testing.assert_allclose(np.asarray(got)[0, 0],
+                                   np.asarray(dense)[0, t],
+                                   rtol=1e-5, atol=1e-6)
+        counts = np.asarray(mut["metrics"]["expert_counts"])
+        assert counts.sum() == cfg.n_experts_per_token  # k selections logged
+
+
+def test_capacity_dispatch_matches_dense_when_no_drop(rng):
+    """capacity_factor >= E/k guarantees no expert overflows, so the sparse
+    dispatch must equal dense dispatch exactly (routing, weights, shared
+    expert, metrics counts)."""
+    import dataclasses
+
+    base = MoEConfig(n_experts=4, n_experts_per_token=2, expert="glu",
+                     shared_expert=True)
+    x = jnp.asarray(rng.standard_normal((2, 5, 8)).astype(np.float32))
+    dense = MoELayer(cfg=base, d_model=8, d_ff=16, dropout_rate=0.0)
+    variables = dense.init(jax.random.PRNGKey(0), x)
+    want, mu_d = dense.apply(variables, x, mutable=["metrics"])
+
+    cfg = dataclasses.replace(base, dispatch="capacity",
+                              capacity_factor=10.0)
+    sparse = MoELayer(cfg=cfg, d_model=8, d_ff=16, dropout_rate=0.0)
+    got, mu_s = sparse.apply(variables, x, mutable=["metrics"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(mu_s["metrics"]["expert_counts"]),
+        np.asarray(mu_d["metrics"]["expert_counts"]))
+
+
+def test_capacity_dispatch_drops_overflow(rng):
+    """With a tiny capacity, overflowing assignments contribute zero but
+    the layer still yields finite outputs and gradients."""
+    import dataclasses
+
+    cfg = MoEConfig(n_experts=4, n_experts_per_token=2, expert="glu",
+                    shared_expert=True, dispatch="capacity",
+                    capacity_factor=0.3)
+    layer = MoELayer(cfg=cfg, d_model=8, d_ff=16, dropout_rate=0.0)
+    x = jnp.asarray(rng.standard_normal((2, 6, 8)).astype(np.float32))
+    variables = layer.init(jax.random.PRNGKey(0), x)
+    out, _ = layer.apply(variables, x, mutable=["metrics"])
+    assert np.isfinite(np.asarray(out)).all()
+
+    def loss(params):
+        y, _ = layer.apply({**variables, "params": params}, x,
+                           deterministic=False, mutable=["metrics"],
+                           rngs={"dropout": jax.random.PRNGKey(1)})
+        return jnp.sum(y ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in flat)
+    # dense output differs (tokens were dropped)
+    import dataclasses as dc
+    dense = MoELayer(cfg=dc.replace(cfg, dispatch="dense"), d_model=8,
+                     d_ff=16, dropout_rate=0.0)
+    want, _ = dense.apply(variables, x, mutable=["metrics"])
+    assert not np.allclose(np.asarray(out), np.asarray(want))

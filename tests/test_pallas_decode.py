@@ -1,0 +1,116 @@
+"""Fused decode-layer kernel parity vs the unfused XLA step path (CPU,
+Pallas interpreter mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video2music_tpu.core import constants as C
+from video2music_tpu.core.config import amt_config
+from video2music_tpu.decode.fused import init_fused_caches, make_fused_step
+from video2music_tpu.decode.sampler import GenerateConfig, generate_chords
+from video2music_tpu.models import VideoMusicTransformer
+from video2music_tpu.ops.pallas_decode import fused_decode_eligible
+
+
+def _tiny(version="2.2", **kw):
+    cfg = amt_config(version, n_layers=4, num_heads=2, d_model=16, d_ff=32,
+                     max_seq_video=12, max_seq_chord=12,
+                     total_vf_dim=7 + 1 + 1 + 2, dropout=0.0, **kw)
+    return VideoMusicTransformer(cfg=cfg), cfg
+
+
+def _feats(rng, B=1, L=12):
+    return dict(
+        semantic=jnp.asarray(rng.standard_normal((B, L, 7)).astype(np.float32)),
+        key=jnp.ones((B, 1), jnp.float32),
+        scene_offset=jnp.asarray(rng.integers(0, 5, (B, L)).astype(np.float32)),
+        motion=jnp.asarray(rng.standard_normal((B, L)).astype(np.float32)),
+        emotion=jnp.asarray(rng.uniform(size=(B, L, 2)).astype(np.float32)),
+    )
+
+
+def _init(model, feats, L=12):
+    B = feats["semantic"].shape[0]
+    z = jnp.zeros((B, L - 1), jnp.int32)
+    return model.init({"params": jax.random.PRNGKey(0)}, z, z, z,
+                      feats["semantic"], feats["key"], feats["scene_offset"],
+                      feats["motion"], feats["emotion"])
+
+
+def test_eligibility():
+    _, cfg22 = _tiny("2.2")
+    assert fused_decode_eligible(cfg22)
+    _, cfg21 = _tiny("2.1")
+    assert fused_decode_eligible(cfg21)
+    _, cfg_base = _tiny(None)      # RPR decoder
+    assert not fused_decode_eligible(cfg_base)
+    _, cfg3 = _tiny("3.1")         # differential + RMSNorm
+    assert not fused_decode_eligible(cfg3)
+    _, cfg20 = _tiny("2.0")        # learned PE in the decoder
+    assert not fused_decode_eligible(cfg20)
+
+
+@pytest.mark.parametrize("version", ["2.2", "2.1"])
+def test_fused_step_logits_match_unfused(rng, version):
+    """Feed the same token stream through the fused kernels (interpret
+    mode) and the flax decode_step; logits must agree at every position —
+    covers shallow (SwiGLU) and deep (top-2 shared MoE) layers, RoPE,
+    cache append, cross-attention, norms, and the head."""
+    model, cfg = _tiny(version)
+    feats = _feats(rng)
+    variables = _init(model, feats)
+
+    memory, _ = model.apply(variables, feats["semantic"],
+                            feats["scene_offset"], feats["motion"],
+                            feats["emotion"], method=model.encode,
+                            mutable=["metrics", "moe_state"])
+    _, primed = model.apply(variables, memory, method=model.prime,
+                            mutable=["cache"])
+
+    step_logits = make_fused_step(variables["params"], cfg, interpret=True)
+    fused_caches = init_fused_caches(variables["params"], cfg,
+                                     primed["cache"])
+
+    tokens = rng.integers(0, C.CHORD_END, 8)
+    roots = rng.integers(0, 13, 8)
+    attrs = rng.integers(0, 14, 8)
+    key = feats["key"]
+
+    flax_cache = primed["cache"]
+    for pos in range(8):
+        t = jnp.asarray([[tokens[pos]]], jnp.int32)
+        r = jnp.asarray([[roots[pos]]], jnp.int32)
+        a = jnp.asarray([[attrs[pos]]], jnp.int32)
+        want, mutated = model.apply(
+            {**variables, "cache": flax_cache}, t, r, a, key,
+            jnp.asarray(pos, jnp.int32), method=model.decode_step,
+            mutable=["cache", "metrics", "moe_state"])
+        flax_cache = mutated["cache"]
+        got, fused_caches = step_logits(fused_caches, t, r, a, key,
+                                        jnp.asarray(pos, jnp.int32))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=f"pos={pos}")
+
+
+def test_fused_generate_matches_unfused(rng):
+    """Whole constrained generate: fused and unfused backends produce the
+    same token sequences given the same rng."""
+    model, cfg = _tiny("2.2")
+    feats = _feats(rng)
+    variables = _init(model, feats)
+    primer = jnp.zeros((1, 4), jnp.int32).at[0, 0].set(1)
+    kw = dict(semantic=feats["semantic"], key=feats["key"],
+              scene_offset=feats["scene_offset"], motion=feats["motion"],
+              emotion=feats["emotion"], primer=primer, primer_root=primer,
+              primer_attr=primer, num_primer=2,
+              gcfg=GenerateConfig(target_seq_length=12))
+    out_ref = generate_chords(model, variables, rng=jax.random.PRNGKey(7),
+                              fused="off", **kw)
+    out_fused = generate_chords(model, variables, rng=jax.random.PRNGKey(7),
+                                fused="on", interpret=True, **kw)
+    for k in ("gen_seq", "gen_seq_root", "gen_seq_attr"):
+        np.testing.assert_array_equal(np.asarray(out_fused[k]),
+                                      np.asarray(out_ref[k]), err_msg=k)

@@ -103,3 +103,22 @@ def test_generate_is_seeded(tiny_pipeline, tmp_path, rng):
     r3 = tiny_pipeline.generate(primer="C", features=feats,
                                 output_dir=str(tmp_path / "c"), seed=8)
     assert r1.chords != r3.chords or True  # different seed may still match
+
+
+def test_drawtext_filter_and_captions():
+    """ffmpeg drawtext chain for the generate-CLI captions (host-side
+    replacement for moviepy TextClip+ImageMagick, reference
+    generate.py:68-72,694-709)."""
+    from video2music_tpu.pipeline.video_io import (chord_caption_overlays,
+                                                   drawtext_filter)
+
+    ov = chord_caption_overlays(30, 120.0)
+    assert ov == [("Prime Chords", 0.0, 30.0),
+                  ("Generated Chords", 30.0, 120.0)]
+    f = drawtext_filter(ov)
+    assert f.count("drawtext=") == 2
+    assert "between(t,0.0,30.0)" in f and "between(t,30.0,120.0)" in f
+    assert "fontsize=24" in f and "fontcolor=white" in f
+    # escaping: quotes/colons must not break the filter grammar
+    f2 = drawtext_filter([("A:b'c", 0, 1)])
+    assert "A\\:b\\'c" in f2

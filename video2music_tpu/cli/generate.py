@@ -34,6 +34,10 @@ def main(argv=None):
     p.add_argument("-reg_weights", default=None)
     p.add_argument("-output_dir", default="./output")
     p.add_argument("-num_prime_chord", type=int, default=30)
+    p.add_argument("-input_video", default=None,
+                   help="optional video file to mux the audio onto, with "
+                        "Prime/Generated Chords captions burned in "
+                        "(reference generate.py:694-709)")
     p.add_argument("-seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -66,9 +70,15 @@ def main(argv=None):
         primer = " ".join(
             inv[int(c)].replace(":min", "m").replace(":", "")
             for c in sample["chord"][:n] if int(c) < C.CHORD_END)
-    result = v2m.generate(primer=primer, key=args.key,
-                          temperature=args.temperature, features=feats,
-                          output_dir=args.output_dir, seed=args.seed)
+    overlays = None
+    if args.input_video:
+        from ..pipeline.video_io import chord_caption_overlays
+        n_sec = int(feats["semantic"].shape[0])
+        overlays = chord_caption_overlays(args.num_prime_chord, n_sec)
+    result = v2m.generate(video=args.input_video, primer=primer,
+                          key=args.key, temperature=args.temperature,
+                          features=feats, output_dir=args.output_dir,
+                          caption_overlays=overlays, seed=args.seed)
     lab_path = os.path.join(args.output_dir, "output.lab")
     with open(lab_path, "w", encoding="utf-8") as f:
         for i, sym in enumerate(result.chords):

@@ -55,6 +55,19 @@ class MoEConfig:
     # train steps (reference: model/moe.py:66-82).
     topk_schedule: bool = False
     topk_update_step: int = 32
+    # Expert dispatch strategy for batched (training/eval) calls:
+    #   "dense"    — every expert computes every token, one-hot combine
+    #                (exact reference math, E/k x expert FLOPs; default);
+    #   "capacity" — sort-free capacity-based sparse dispatch: each expert
+    #                computes at most ceil(T*k/E * capacity_factor) tokens
+    #                (scatter/gather buffers). Cuts expert FLOPs ~E/(k*cf)x
+    #                — worth it once d_ff makes the step compute-bound —
+    #                but tokens beyond an overflowing expert's capacity are
+    #                DROPPED (zero contribution), a documented deviation
+    #                from the reference's loop. Single-token decode always
+    #                uses the gathered fast path regardless.
+    dispatch: str = "dense"
+    capacity_factor: float = 1.25
     # Routing-softmax temperature annealing t: min -> max by +step per call
     # (reference TemperatureScheduler, model/moe.py:84-97). Dead in the
     # reference live path (always None, video_music_transformer.py:395,671);

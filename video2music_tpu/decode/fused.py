@@ -1,0 +1,91 @@
+"""Fused-kernel decode step: param-tree glue around ops/pallas_decode.
+
+Builds a ``step_logits(caches, token, token_root, token_attr, key, pos)``
+closure for eligible configs (see ops/pallas_decode.fused_decode_eligible)
+that reproduces ``VideoMusicTransformer.decode_step`` (models/amt.py)
+exactly: chord embedding + key concat + Linear_chord, the decoder stack as
+one fused Pallas kernel per layer, final LayerNorm, and the 159-way head.
+The sampler (decode/sampler.py) drives it inside the same ``lax.scan`` it
+uses for the unfused path; tests assert logits parity between the two.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.pallas_decode import (decode_layer_step, fused_decode_eligible,
+                                 pack_decoder_layers)
+
+LN_EPS = 1e-5
+
+
+def _layer_norm(x, p):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + LN_EPS)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def init_fused_caches(params: Dict[str, Any], cfg,
+                      cross_cache: Dict[str, Any]) -> Dict[str, Any]:
+    """Self-attention caches (zeros) + primed cross K/V extracted from the
+    flax "cache" collection written by model.prime."""
+    D = cfg.d_model
+    S = cfg.max_seq_chord
+    dtype = params["Wout"]["kernel"].dtype
+    to_lanes = lambda a: a[0].transpose(1, 0, 2).reshape(a.shape[2], D)
+    caches = {}
+    for i in range(len(cfg.decoder_layers)):
+        caches[f"k{i}"] = jnp.zeros((S, D), dtype)
+        caches[f"v{i}"] = jnp.zeros((S, D), dtype)
+        cc = cross_cache[f"dec_{i}"]["cross_attn"]
+        # (1, H, Sm, hd) -> (Sm, H*hd): heads concatenated along lanes
+        caches[f"ck{i}"] = to_lanes(cc["k"])
+        caches[f"cv{i}"] = to_lanes(cc["v"])
+    return caches
+
+
+def make_fused_step(params: Dict[str, Any], cfg, *, interpret: bool = False):
+    """Returns step_logits(caches, token, token_root, token_attr, key, pos)
+    -> (logits (1, CHORD_SIZE), new_caches)."""
+    assert fused_decode_eligible(cfg)
+    packed = pack_decoder_layers(params, cfg)
+    rope = cfg.decoder_layers[0].attn.rope
+    H = cfg.num_heads
+    k_top = cfg.moe.n_experts_per_token
+
+    emb_root = params["embedding_root"]["embedding"]
+    emb_attr = params["embedding_attr"]["embedding"]
+    lc_w = params["Linear_chord"]["kernel"]
+    lc_b = params["Linear_chord"]["bias"]
+    wout = params["Wout"]["kernel"]
+    bout = params["Wout"]["bias"]
+    dnorm = params["decoder_norm"]
+
+    def step_logits(caches, token, token_root, token_attr, key, pos):
+        # chord embed + key concat + Linear_chord (models/amt.py
+        # _embed_chords; reference video_music_transformer.py:984-1001)
+        emb = emb_root[token_root] + emb_attr[token_attr]  # (1, 1, D)
+        k = jnp.reshape(key.astype(emb.dtype), (emb.shape[0], 1, 1))
+        x = jnp.concatenate(
+            [emb, jnp.broadcast_to(k, (*emb.shape[:2], 1))], axis=-1)
+        x = (jnp.dot(x, lc_w) + lc_b)[:, 0]  # (1, D)
+
+        new = dict(caches)
+        for i, layer in enumerate(packed):
+            x, kc, vc = decode_layer_step(
+                x, pos, layer, caches[f"k{i}"], caches[f"v{i}"],
+                caches[f"ck{i}"], caches[f"cv{i}"],
+                n_heads=H, rope=rope, k_top=k_top, interpret=interpret)
+            new[f"k{i}"] = kc
+            new[f"v{i}"] = vc
+        x = _layer_norm(x, dnorm)
+        logits = jnp.dot(x, wout) + bout  # (1, CHORD_SIZE)
+        return logits, new
+
+    return step_logits

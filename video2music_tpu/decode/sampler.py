@@ -68,7 +68,8 @@ def _sample_next(rng, logits, gen_seq, pos, gcfg: GenerateConfig):
 
 def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
                     emotion, primer, primer_root, primer_attr, num_primer,
-                    rng, gcfg: GenerateConfig = GenerateConfig()):
+                    rng, gcfg: GenerateConfig = GenerateConfig(),
+                    fused: str = "auto", interpret: bool = False):
     """Generate a (B, target_seq_length) chord-id sequence.
 
     Args:
@@ -80,6 +81,10 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
         beyond ``num_primer`` are ignored.
       num_primer: int or scalar array — number of primer tokens (>= 1).
       rng: jax PRNG key.
+      fused: "auto" (fused Pallas decode-layer kernels on TPU when the
+        config is eligible), "on" (force, e.g. with interpret=True on CPU)
+        or "off".
+      interpret: run the fused kernels in Pallas interpreter mode (tests).
     Returns:
       dict with gen_seq / gen_seq_root / gen_seq_attr, each
       (B, target_seq_length) int32.
@@ -120,17 +125,36 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
                             mutable=["cache"])
     cache = primed["cache"]
 
+    # 3) step backend: fused Pallas decode-layer kernels collapse one
+    #    decoder layer step into a single kernel launch (ops/pallas_decode)
+    #    — the XLA step path stays the oracle and the fallback.
+    from ..ops.attention import _use_pallas
+    from ..ops.pallas_decode import fused_decode_eligible
+
+    use_fused = (fused != "off" and B == 1
+                 and fused_decode_eligible(model.cfg)
+                 and (fused == "on" or _use_pallas()))
+    if use_fused:
+        from .fused import init_fused_caches, make_fused_step
+        step_logits = make_fused_step(variables["params"], model.cfg,
+                                      interpret=interpret)
+        cache = init_fused_caches(variables["params"], model.cfg, cache)
+    else:
+        def step_logits(cache, token, token_root, token_attr, key_, pos):
+            logits, mutated = model.apply(
+                {**variables, "cache": cache},
+                token, token_root, token_attr, key_, pos,
+                method=model.decode_step,
+                mutable=["cache", "metrics", "moe_state"])
+            return logits, mutated["cache"]
+
     def step_fn(carry, pos):
         cache, gen_seq, gen_root, gen_attr, rng = carry
         token = jax.lax.dynamic_slice_in_dim(gen_seq, pos, 1, axis=1)
         token_root = jax.lax.dynamic_slice_in_dim(gen_root, pos, 1, axis=1)
         token_attr = jax.lax.dynamic_slice_in_dim(gen_attr, pos, 1, axis=1)
-        logits, mutated = model.apply(
-            {**variables, "cache": cache},
-            token, token_root, token_attr, key, pos,
-            method=model.decode_step,
-            mutable=["cache", "metrics", "moe_state"])
-        cache = mutated["cache"]
+        logits, cache = step_logits(cache, token, token_root, token_attr,
+                                    key, pos)
         rng, sub = jax.random.split(rng)
         nxt = _sample_next(sub, logits, gen_seq, pos, gcfg).astype(jnp.int32)
         # keep primer tokens where pos+1 is still inside the primer

@@ -2,19 +2,31 @@
 AdaptiveDetector content logic as batched numpy/JAX frame-score math.
 
 The reference runs ``scenedetect.AdaptiveDetector`` over the video
-(reference: ``video2music.py:211-237``, ``script/scene_feature.py``). The
-algorithm (scenedetect 0.6.1 semantics):
+(reference: ``video2music.py:211-237``, ``script/scene_feature.py``;
+requirements pin scenedetect 0.6.1). The 0.6.1 algorithm, reproduced
+quirk-for-quirk:
 
-  1. content score per frame = mean over HSV channels of the mean absolute
-     pixel delta to the previous frame (ContentDetector's default
-     hue/sat/lum weights 1/1/1, no edges);
-  2. adaptive ratio = score / average score over a +-window_width
-     neighborhood (excluding the frame itself);
-  3. a cut fires when ratio >= adaptive_threshold AND score >=
-     min_content_val AND at least min_scene_len frames since the last cut.
+  1. content score per frame = mean over the three HSV channels of the
+     mean absolute pixel delta to the previous frame (ContentDetector's
+     default hue/sat/lum weights 1/1/1, no edge component). The hue delta
+     is a PLAIN absolute difference of the 0..179 H channel — scenedetect
+     does NOT wrap hue around 180, so red-to-red transitions score high;
+     reproduced as-is.
+  2. only frames with a FULL +-window_width neighborhood are evaluated
+     (the detector buffers 2w+1 scores and decides for the middle one;
+     the first/last w frames can never cut);
+  3. adaptive ratio = min(score / average, 255) with average =
+     sum(neighborhood excluding self) / (2*window_width); a zero average
+     maps to ratio 255 when the score clears min_content_val, else 0;
+  4. a cut fires when ratio >= adaptive_threshold AND score >=
+     min_content_val AND (it is the first cut OR at least min_scene_len
+     frames passed since the last cut).
 
-Frame scores are computed for the whole clip in one vectorized pass —
-the per-frame Python loop of the original becomes an array program.
+Frame scores and ratios are computed for the whole clip in one vectorized
+pass — the per-frame Python loop of the original becomes an array program;
+only the min-scene-length suppression stays sequential (over the few
+candidate frames). tests/test_features.py checks against an independent
+stateful transcription of the 0.6.1 detector loop on synthetic clips.
 
 Outputs mirror the reference's .lab conventions: per-second scene ids from
 scene end-times (ceil seconds, video2music.py:222-229) and per-second
@@ -65,34 +77,52 @@ def content_scores(frames: np.ndarray, downscale: bool = True) -> np.ndarray:
     if downscale:
         frames = auto_downscale(frames)
     hsv = _rgb_to_hsv_arrays(frames)
+    # scenedetect 0.6.1 quirk: plain |dH| on the 0..179 hue channel, no
+    # wraparound (content_detector._mean_pixel_distance)
     deltas = np.abs(hsv[1:] - hsv[:-1])
-    # hue wraps at 180
-    dh = deltas[..., 0]
-    deltas[..., 0] = np.minimum(dh, 180.0 - dh)
     per_channel = deltas.mean(axis=(1, 2))  # (T-1, 3)
     scores = per_channel.mean(axis=-1)
     return np.concatenate([[0.0], scores])
 
 
+def adaptive_ratios(scores: np.ndarray, window_width: int = 2,
+                    min_content_val: float = 15.0) -> np.ndarray:
+    """Vectorized 0.6.1 adaptive ratio per frame; NaN where the
+    +-window_width neighborhood is incomplete (never evaluated)."""
+    T = len(scores)
+    w = window_width
+    ratios = np.full(T, np.nan)
+    if T < 2 * w + 1:
+        return ratios
+    # neighborhood sums via a sliding window, excluding the center
+    csum = np.concatenate([[0.0], np.cumsum(scores)])
+    idx = np.arange(w, T - w)
+    window_sum = csum[idx + w + 1] - csum[idx - w]  # inclusive 2w+1 window
+    avg = (window_sum - scores[idx]) / (2.0 * w)
+    zero = np.abs(avg) < 0.00001
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = np.minimum(scores[idx] / avg, 255.0)
+    r = np.where(zero, np.where(scores[idx] >= min_content_val, 255.0, 0.0),
+                 r)
+    ratios[idx] = r
+    return ratios
+
+
 def detect_cuts(frames: np.ndarray, *, adaptive_threshold: float = 3.0,
                 min_scene_len: int = 15, window_width: int = 2,
                 min_content_val: float = 15.0) -> List[int]:
-    """Frame indices where new scenes start (excluding frame 0)."""
+    """Frame indices where new scenes start (excluding frame 0) —
+    scenedetect 0.6.1 AdaptiveDetector semantics (see module docstring)."""
     scores = content_scores(frames)
-    T = len(scores)
-    cuts = []
-    last_cut = 0
-    for i in range(T):
-        lo, hi = max(0, i - window_width), min(T, i + window_width + 1)
-        neigh = np.concatenate([scores[lo:i], scores[i + 1:hi]])
-        denom = neigh.mean() if neigh.size else 0.0
-        ratio = scores[i] / denom if denom > 1e-9 else (
-            255.0 if scores[i] >= min_content_val else 0.0)
-        if (ratio >= adaptive_threshold
-                and scores[i] >= min_content_val
-                and i - last_cut >= min_scene_len):
-            cuts.append(i)
-            last_cut = i
+    ratios = adaptive_ratios(scores, window_width, min_content_val)
+    candidates = np.flatnonzero(
+        (ratios >= adaptive_threshold) & (scores >= min_content_val))
+    cuts: List[int] = []
+    last_cut = None
+    for i in candidates:
+        if last_cut is None or i - last_cut >= min_scene_len:
+            cuts.append(int(i))
+            last_cut = int(i)
     return cuts
 
 

@@ -56,9 +56,21 @@ class VideoMusicTransformer(nn.Module):
         self.embedding_attr = nn.Embed(C.CHORD_ATTR_SIZE, cfg.d_model,
                                        name="embedding_attr")
         if cfg.chord_embed:
-            # frozen Word2Vec chord table (reference loads word2vec_filled.bin,
-            # video_music_transformer.py:47-50); fill via checkpoint converter
+            # frozen chord table (reference loads a gensim word2vec_filled.bin,
+            # video_music_transformer.py:47-50). Default init: the
+            # deterministic music-theory table (features/chord2vec.py) so
+            # chord_embed models run with structured non-random frozen
+            # weights; a converted/trained table overrides it via the
+            # checkpoint converter or features.chord2vec.train_skipgram.
+            from ..features.chord2vec import deterministic_chord_table
+
+            def _chord_table_init(_rng, shape, dtype=jnp.float32):
+                table = deterministic_chord_table(shape[1])
+                assert table.shape == tuple(shape), (table.shape, shape)
+                return jnp.asarray(table, dtype)
+
             self.chord_embedding = nn.Embed(C.CHORD_SIZE, cfg.chord_embed_dim,
+                                            embedding_init=_chord_table_init,
                                             name="chord_embedding")
         chord_in = (cfg.chord_embed_dim if cfg.chord_embed else cfg.d_model) + 1
         self.linear_chord = nn.Dense(cfg.d_model, name="Linear_chord")

@@ -37,7 +37,8 @@ from .kan import KANLinear
 
 class GLUExpertStack(nn.Module):
     """n_experts SwiGLU experts evaluated densely (reference GLUExpert,
-    model/moe.py:36-49)."""
+    model/moe.py:36-49); with ``expert_idx`` only the selected experts'
+    weights are gathered and evaluated (the decode fast path)."""
 
     n_experts: int
     d_model: int
@@ -45,8 +46,10 @@ class GLUExpertStack(nn.Module):
     dropout_rate: float = 0.1
 
     @nn.compact
-    def __call__(self, x, deterministic=True):
-        # x: (B, L, D) -> (B, L, E, D)
+    def __call__(self, x, deterministic=True, expert_idx=None,
+                 per_expert=False):
+        # x: (B, L, D) -> (B, L, E, D); with expert_idx (B, L, K) int ->
+        # (B, L, K, D); with per_expert, x is an (E, C, D) dispatch buffer
         E, D, F = self.n_experts, self.d_model, self.d_ff
         init = nn.initializers.lecun_normal()
         w1 = self.param("w1", init, (E, D, F))
@@ -55,6 +58,35 @@ class GLUExpertStack(nn.Module):
         bg = self.param("bg", nn.initializers.zeros, (E, F))
         w2 = self.param("w2", init, (E, F, D))
         b2 = self.param("b2", nn.initializers.zeros, (E, D))
+        if per_expert:
+            # x: (E, C, D) capacity dispatch buffer -> (E, C, D)
+            h = jnp.einsum("ecd,edf->ecf", x, w1) + b1[:, None, :]
+            g = jnp.einsum("ecd,edf->ecf", x, wg) + bg[:, None, :]
+            h = h * jax.nn.silu(g)
+            h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+            return jnp.einsum("ecf,efd->ecd", h, w2) + b2[:, None, :]
+        if expert_idx is not None:
+            # Single-token decode: per-slot scalar dynamic_slice reads ONLY
+            # the selected experts' weights from HBM (a fancy-index gather
+            # materializes the slabs and measured *slower* than dense).
+            # linear1 and gate fuse into one (D, 2F) matmul per slot.
+            B, L, K = expert_idx.shape
+            assert B * L == 1, "gathered path requires a single token"
+            w1g = jnp.concatenate([w1, wg], axis=-1)  # (E, D, 2F), hoisted
+            b1g = jnp.concatenate([b1, bg], axis=-1)  # (E, 2F), hoisted
+            xv = x.reshape(1, D)
+            idx = expert_idx.reshape(K)
+            outs = []
+            for j in range(K):
+                e = idx[j]
+                wj = jax.lax.dynamic_slice_in_dim(w1g, e, 1, 0)[0]
+                bj = jax.lax.dynamic_slice_in_dim(b1g, e, 1, 0)[0]
+                hj, gj = jnp.split(xv @ wj + bj, 2, axis=-1)
+                hj = hj * jax.nn.silu(gj)
+                w2j = jax.lax.dynamic_slice_in_dim(w2, e, 1, 0)[0]
+                b2j = jax.lax.dynamic_slice_in_dim(b2, e, 1, 0)[0]
+                outs.append(hj @ w2j + b2j)
+            return jnp.stack(outs, axis=1).reshape(B, L, K, D)
         h = jnp.einsum("bld,edf->blef", x, w1) + b1
         g = jnp.einsum("bld,edf->blef", x, wg) + bg
         h = h * jax.nn.silu(g)
@@ -71,13 +103,35 @@ class MLPExpertStack(nn.Module):
     dropout_rate: float = 0.1
 
     @nn.compact
-    def __call__(self, x, deterministic=True):
+    def __call__(self, x, deterministic=True, expert_idx=None,
+                 per_expert=False):
         E, D = self.n_experts, self.d_model
         init = nn.initializers.lecun_normal()
         w1 = self.param("w1", init, (E, D, 2 * D))
         b1 = self.param("b1", nn.initializers.zeros, (E, 2 * D))
         w2 = self.param("w2", init, (E, 2 * D, D))
         b2 = self.param("b2", nn.initializers.zeros, (E, D))
+        if per_expert:
+            h = jax.nn.silu(jnp.einsum("ecd,edf->ecf", x, w1)
+                            + b1[:, None, :])
+            h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+            return jnp.einsum("ecf,efd->ecd", h, w2) + b2[:, None, :]
+        if expert_idx is not None:
+            # see GLUExpertStack: per-slot dynamic_slice, single-token only
+            B, L, K = expert_idx.shape
+            assert B * L == 1, "gathered path requires a single token"
+            xv = x.reshape(1, D)
+            idx = expert_idx.reshape(K)
+            outs = []
+            for j in range(K):
+                e = idx[j]
+                wj = jax.lax.dynamic_slice_in_dim(w1, e, 1, 0)[0]
+                bj = jax.lax.dynamic_slice_in_dim(b1, e, 1, 0)[0]
+                hj = jax.nn.silu(xv @ wj + bj)
+                w2j = jax.lax.dynamic_slice_in_dim(w2, e, 1, 0)[0]
+                b2j = jax.lax.dynamic_slice_in_dim(b2, e, 1, 0)[0]
+                outs.append(hj @ w2j + b2j)
+            return jnp.stack(outs, axis=1).reshape(B, L, K, D)
         h = jax.nn.silu(jnp.einsum("bld,edf->blef", x, w1) + b1)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
         return jnp.einsum("blef,efd->bled", h, w2) + b2
@@ -91,11 +145,14 @@ class KANExpertStack(nn.Module):
     d_model: int
 
     @nn.compact
-    def __call__(self, x, deterministic=True):
-        outs = []
-        for e in range(self.n_experts):
-            outs.append(KANLinear(self.d_model, self.d_model, name=f"kan_{e}")(x))
-        return jnp.stack(outs, axis=-2)  # (B, L, E, D)
+    def __call__(self, x, deterministic=True, expert_idx=None,
+                 per_expert=False):
+        assert expert_idx is None, "KAN experts have no gathered fast path"
+        kans = [KANLinear(self.d_model, self.d_model, name=f"kan_{e}")
+                for e in range(self.n_experts)]
+        if per_expert:  # x: (E, C, D) -> (E, C, D)
+            return jnp.stack([kan(x[e]) for e, kan in enumerate(kans)])
+        return jnp.stack([kan(x) for kan in kans], axis=-2)  # (B, L, E, D)
 
 
 def _expert_stack(cfg: MoEConfig, d_model: int, d_ff: int, dropout: float,
@@ -152,17 +209,6 @@ class MoELayer(nn.Module):
             if is_training:
                 select_logits = gate_logits + bias_var.value
 
-        # Rank experts per token: expert participates iff rank < k. This is
-        # exactly torch.topk + softmax-over-selected, with a dynamic k.
-        order = jnp.argsort(-select_logits, axis=-1)  # (B, L, E)
-        ranks = jnp.argsort(order, axis=-1)  # rank of each expert
-        selected = ranks < k  # (B, L, E) bool
-
-        # routing weights: softmax over the *raw* gate logits of selected
-        # experts (reference uses gather(gate_logits) when balancing,
-        # moe.py:265-267; unbiased logits otherwise)
-        masked = jnp.where(selected, gate_logits, -jnp.inf)
-
         # -- TemperatureScheduler (reference moe.py:84-97): anneal the
         # routing-softmax temperature t from min to max by +step per call.
         # Dead in the reference live path (always None); quirk kept: the
@@ -170,6 +216,7 @@ class MoELayer(nn.Module):
         # the plain MoELayer is training-only (moe.py:174-176). Division by
         # a positive scalar never changes the top-k selection, so only the
         # softmax sees t — same math as both reference layers.
+        t_div = None
         if cfg.temperature_schedule:
             t_var = self.variable("moe_state", "temp_step",
                                   lambda: jnp.zeros((), jnp.int32))
@@ -177,22 +224,65 @@ class MoELayer(nn.Module):
             if applies and not self.is_initializing():
                 t_var.value = t_var.value + 1  # step() before getT()
             if applies:
-                t = jnp.minimum(
+                t_div = jnp.minimum(
                     cfg.temperature_min
                     + t_var.value.astype(jnp.float32) * cfg.temperature_step,
                     cfg.temperature_max)
-                masked = masked / t
 
-        weights = jax.nn.softmax(masked, axis=-1)  # zeros at unselected
-
-        # -- dense expert evaluation & combine --
         experts = _expert_stack(cfg, self.d_model, self.d_ff,
                                 self.dropout_rate, E, "experts")
-        expert_out = experts(x, deterministic=deterministic)  # (B, L, E, D)
-        expert_out = nn.Dropout(self.dropout_rate)(
-            expert_out, deterministic=deterministic)
-        out = jnp.einsum("ble,bled->bld", weights.astype(expert_out.dtype),
-                         expert_out)
+
+        # Decode fast path: when only a handful of tokens route (B*L*k < E,
+        # i.e. single-token cached decode), gather the selected experts'
+        # weights instead of evaluating all E densely — HBM weight traffic
+        # and FLOPs drop from E to k experts. Same math: top-k selection ==
+        # rank < k for a static k (eval always uses the floor k,
+        # reference moe.py:172-176).
+        k_static = cfg.n_experts_per_token
+        use_gather = (deterministic and cfg.expert != "kan"
+                      and x.shape[0] * x.shape[1] == 1 and k_static < E)
+
+        # Capacity-based sparse dispatch (training-scale): needs a static
+        # k, so an actively-annealing TopKScheduler falls back to dense.
+        use_capacity = (not use_gather and cfg.dispatch == "capacity"
+                        and not (cfg.topk_schedule and is_training))
+
+        if use_gather:
+            _, idx = jax.lax.top_k(select_logits, k_static)  # (B, L, K)
+            gsel = jnp.take_along_axis(gate_logits, idx, axis=-1)
+            if t_div is not None:
+                gsel = gsel / t_div
+            weights_k = jax.nn.softmax(gsel, axis=-1)  # (B, L, K)
+            expert_out = experts(x, deterministic=True, expert_idx=idx)
+            out = jnp.einsum("blk,blkd->bld",
+                             weights_k.astype(expert_out.dtype), expert_out)
+            selected = jnp.any(
+                idx[..., None] == jnp.arange(E)[None, None, None], axis=2)
+        elif use_capacity:
+            out, selected = self._capacity_dispatch(
+                experts, x, gate_logits, select_logits, t_div,
+                deterministic)
+        else:
+            # Rank experts per token: expert participates iff rank < k.
+            # This is exactly torch.topk + softmax-over-selected, with a
+            # dynamic k.
+            order = jnp.argsort(-select_logits, axis=-1)  # (B, L, E)
+            ranks = jnp.argsort(order, axis=-1)  # rank of each expert
+            selected = ranks < k  # (B, L, E) bool
+
+            # routing weights: softmax over the *raw* gate logits of
+            # selected experts (reference uses gather(gate_logits) when
+            # balancing, moe.py:265-267; unbiased logits otherwise)
+            masked = jnp.where(selected, gate_logits, -jnp.inf)
+            if t_div is not None:
+                masked = masked / t_div
+            weights = jax.nn.softmax(masked, axis=-1)  # zeros at unselected
+
+            expert_out = experts(x, deterministic=deterministic)
+            expert_out = nn.Dropout(self.dropout_rate)(
+                expert_out, deterministic=deterministic)
+            out = jnp.einsum("ble,bled->bld",
+                             weights.astype(expert_out.dtype), expert_out)
 
         if cfg.shared_expert:
             shared = _expert_stack(cfg, self.d_model, self.d_ff,
@@ -231,3 +321,52 @@ class MoELayer(nn.Module):
                     selected[:, :L].astype(jnp.float32))
 
         return out
+
+    def _capacity_dispatch(self, experts, x, gate_logits, select_logits,
+                           t_div, deterministic):
+        """Sparse dispatch: scatter each token's top-k assignments into
+        per-expert buffers of capacity ceil(T*k/E * capacity_factor),
+        run each expert once over its buffer, scatter-add back. Expert
+        FLOPs scale with k*capacity_factor instead of E; assignments
+        beyond an expert's capacity are dropped (contribute zero) — the
+        standard capacity trade, documented in MoEConfig."""
+        import math
+
+        cfg = self.cfg
+        B, L, D = x.shape
+        E, k = cfg.n_experts, cfg.n_experts_per_token
+        T = B * L
+        cap = max(1, math.ceil(T * k / E * cfg.capacity_factor))
+
+        xf = x.reshape(T, D)
+        _, idx = jax.lax.top_k(select_logits.reshape(T, E), k)  # (T, k)
+        gsel = jnp.take_along_axis(gate_logits.reshape(T, E), idx, axis=-1)
+        if t_div is not None:
+            gsel = gsel / t_div
+        w = jax.nn.softmax(gsel, axis=-1)  # (T, k)
+
+        flat_e = idx.reshape(-1)                      # (T*k,)
+        flat_w = w.reshape(-1)
+        flat_tok = jnp.repeat(jnp.arange(T), k)
+        onehot = jax.nn.one_hot(flat_e, E, dtype=jnp.int32)
+        # position of each assignment within its expert's buffer
+        pos = jnp.sum((jnp.cumsum(onehot, axis=0) - onehot) * onehot,
+                      axis=1)                          # (T*k,)
+        keep = (pos < cap).astype(x.dtype)
+
+        buf = jnp.zeros((E, cap, D), x.dtype)
+        buf = buf.at[flat_e, pos].add(
+            xf[flat_tok] * keep[:, None], mode="drop")
+        expert_out = experts(buf, deterministic=deterministic,
+                             per_expert=True)          # (E, cap, D)
+        expert_out = nn.Dropout(self.dropout_rate)(
+            expert_out, deterministic=deterministic)
+        gathered = expert_out[flat_e, jnp.minimum(pos, cap - 1)]
+        comb_w = (flat_w.astype(expert_out.dtype)
+                  * keep.astype(expert_out.dtype))
+        out = jnp.zeros((T, D), expert_out.dtype).at[flat_tok].add(
+            gathered * comb_w[:, None])
+        selected = jnp.any(
+            idx.reshape(B, L, k)[..., None]
+            == jnp.arange(E)[None, None, None], axis=2)
+        return out.reshape(B, L, D), selected

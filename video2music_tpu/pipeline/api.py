@@ -218,6 +218,7 @@ class Video2music:
                  output_dir: str = "./output", seed: int = 0,
                  correct_panning: bool = False,
                  sound_font: Optional[str] = None,
+                 caption_overlays=None,
                  compute_dtype: str = "bfloat16") -> GenerateResult:
         os.makedirs(output_dir, exist_ok=True)
         if features is None:
@@ -346,7 +347,11 @@ class Video2music:
             video_io.midi_to_audio(midi_path, audio_path, sound_font)
             if video is not None and video_io.has_ffmpeg():
                 out_video = os.path.join(output_dir, "output.mp4")
-                video_io.mux_audio_onto_video(video, audio_path, out_video)
+                # caption_overlays: timed captions burned in via ffmpeg
+                # drawtext (the generate-CLI passes the reference's
+                # Prime/Generated Chords pair, generate.py:700-703)
+                video_io.mux_audio_onto_video(video, audio_path, out_video,
+                                              overlays=caption_overlays)
 
         return GenerateResult(
             chords=chords, chord_ids=chord_ids, midi_path=midi_path,

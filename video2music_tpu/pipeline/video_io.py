@@ -107,11 +107,68 @@ def mix_audio(paths: List[str], out_path: str) -> None:
     subprocess.run(cmd, check=True, capture_output=True)
 
 
+def _drawtext_escape(text: str) -> str:
+    """Escape a string for ffmpeg drawtext's text= option."""
+    out = []
+    for ch in text:
+        if ch in ":\\'%":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _find_font() -> str:
+    import glob
+    for pattern in ("/usr/share/fonts/truetype/dejavu/DejaVuSerif.ttf",
+                    "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+                    "/usr/share/fonts/**/*.ttf"):
+        hits = glob.glob(pattern, recursive="*" in pattern)
+        if hits:
+            return hits[0]
+    return ""
+
+
+def drawtext_filter(overlays) -> str:
+    """ffmpeg -vf drawtext chain for timed centered captions — the
+    host-side equivalent of the reference's moviepy TextClip+ImageMagick
+    overlays (reference: generate.py:68-72,694-709: white 24pt text,
+    centered, 20px from the top, enabled for [start, end)).
+
+    overlays: iterable of (text, start_sec, end_sec).
+    """
+    font = _find_font()
+    fontopt = f":fontfile={font}" if font else ""
+    parts = []
+    for text, start, end in overlays:
+        parts.append(
+            "drawtext=text='" + _drawtext_escape(str(text)) + "'"
+            + fontopt
+            + ":fontsize=24:fontcolor=white:x=(w-text_w)/2:y=20"
+            + f":enable='between(t,{float(start)},{float(end)})'")
+    return ",".join(parts)
+
+
+def chord_caption_overlays(num_primer: int, duration: float):
+    """The reference's two captions: "Prime Chords" over the primer span,
+    "Generated Chords" for the rest (reference: generate.py:700-701)."""
+    return [("Prime Chords", 0.0, float(num_primer)),
+            ("Generated Chords", float(num_primer), float(duration))]
+
+
 def mux_audio_onto_video(video_path: str, audio_path: str,
-                         out_path: str) -> None:
+                         out_path: str, overlays=None) -> None:
     """Attach audio to video, trimming to the shorter stream
-    (reference: video2music.py:1033-1052 via moviepy)."""
+    (reference: video2music.py:1033-1052 via moviepy). With ``overlays``
+    (see drawtext_filter) the captions are burned in — that path re-encodes
+    (libx264, like the reference's write_videofile at generate.py:704-709)
+    instead of stream-copying."""
     cmd = ["ffmpeg", "-y", "-i", str(video_path), "-i", str(audio_path),
-           "-map", "0:v:0", "-map", "1:a:0", "-c:v", "copy", "-shortest",
-           str(out_path)]
+           "-map", "0:v:0", "-map", "1:a:0"]
+    if overlays:
+        cmd += ["-vf", drawtext_filter(overlays), "-c:v", "libx264",
+                "-c:a", "aac"]
+    else:
+        cmd += ["-c:v", "copy"]
+    cmd += ["-shortest", str(out_path)]
     subprocess.run(cmd, check=True, capture_output=True)
