@@ -554,3 +554,173 @@ def test_v3_full_tree_structure(rng):
     got = {jtu.keystr(p): np.asarray(v).shape for p, v in
            jtu.tree_leaves_with_path(moe_state)}
     assert sorted(want) == sorted(got), sorted(set(want) ^ set(got))[:8]
+
+
+# ---------------------------------------------------------------------------
+# Full-stack V2.2 cross-check: a torch mirror of the flagship forward with
+# reference state_dict names, numerically compared through the converter.
+# RoPE follows this framework's documented per-head convention
+# (ops/embeddings.py docstring — the upstream cache reshape is a bug).
+# ---------------------------------------------------------------------------
+
+def _torch_rope(x, positions=None, base=10000.0):
+    """Pairwise rope on (B, H, L, hd), mirroring ops/embeddings.apply_rope."""
+    B, H, L, hd = x.shape
+    theta = 1.0 / (base ** (torch.arange(0, hd, 2).float() / hd))
+    pos = (torch.arange(L).float() if positions is None
+           else torch.as_tensor(positions).float())
+    ang = pos[:, None] * theta[None, :]          # (L, hd/2)
+    cos, sin = torch.cos(ang), torch.sin(ang)
+    xs = x.float().reshape(B, H, L, hd // 2, 2)
+    x0, x1 = xs[..., 0], xs[..., 1]
+    out = torch.stack([x0 * cos - x1 * sin, x1 * cos + x0 * sin], dim=-1)
+    return out.reshape(B, H, L, hd).type_as(x)
+
+
+class _TorchRoPEMHA(torch.nn.Module):
+    """Packed-projection MHA with per-head RoPE; exposes the reference's
+    in_proj_weight/in_proj_bias/out_proj state_dict names."""
+
+    def __init__(self, d, heads):
+        super().__init__()
+        self.heads = heads
+        self.in_proj_weight = torch.nn.Parameter(torch.randn(3 * d, d) * 0.07)
+        self.in_proj_bias = torch.nn.Parameter(torch.randn(3 * d) * 0.02)
+        self.out_proj = torch.nn.Linear(d, d)
+
+    def forward(self, q_in, kv_in, causal=False):
+        B, L, D = q_in.shape
+        S = kv_in.shape[1]
+        H = self.heads
+        hd = D // H
+        w, b = self.in_proj_weight, self.in_proj_bias
+        q = torch.nn.functional.linear(q_in, w[:D], b[:D])
+        k = torch.nn.functional.linear(kv_in, w[D:2 * D], b[D:2 * D])
+        v = torch.nn.functional.linear(kv_in, w[2 * D:], b[2 * D:])
+        split = lambda t, n: t.reshape(B, n, H, hd).transpose(1, 2)
+        q, k, v = split(q, L), split(k, S), split(v, S)
+        q = _torch_rope(q)
+        k = _torch_rope(k)
+        logits = (q.float() @ k.float().transpose(-1, -2)) * hd ** -0.5
+        if causal:
+            mask = torch.triu(torch.full((L, S), float("-inf")), 1)
+            logits = logits + mask
+        p = torch.softmax(logits, dim=-1).type_as(v)
+        out = (p @ v).transpose(1, 2).reshape(B, L, D)
+        return self.out_proj(out)
+
+
+class _TorchV22EncLayer(torch.nn.Module):
+    def __init__(self, d, heads, ff_mod):
+        super().__init__()
+        self.self_attn = _TorchRoPEMHA(d, heads)
+        self.ff = ff_mod
+        self.norm1 = torch.nn.LayerNorm(d)
+        self.norm2 = torch.nn.LayerNorm(d)
+
+    def forward(self, x):
+        x = self.norm1(x + self.self_attn(x, x))
+        return self.norm2(x + self.ff(x))
+
+
+class _TorchV22DecLayer(torch.nn.Module):
+    def __init__(self, d, heads, ff_mod):
+        super().__init__()
+        self.self_attn = _TorchRoPEMHA(d, heads)
+        self.cross_attn = _TorchRoPEMHA(d, heads)
+        self.ff = ff_mod
+        self.norm1 = torch.nn.LayerNorm(d)
+        self.norm2 = torch.nn.LayerNorm(d)
+        self.norm3 = torch.nn.LayerNorm(d)
+
+    def forward(self, x, mem):
+        x = self.norm1(x + self.self_attn(x, x, causal=True))
+        x = self.norm2(x + self.cross_attn(x, mem))
+        return self.norm3(x + self.ff(x))
+
+
+def test_v22_full_model_parity(rng):
+    """Whole flagship forward (embeddings, key concat, feature concat,
+    3 SwiGLU + deep SharedMoE encoder/decoder, RoPE, head) through
+    convert_reference_amt_v2 against a live torch mirror with reference
+    state_dict names."""
+    from video2music_tpu.core import constants as CC
+    from video2music_tpu.models import VideoMusicTransformer
+    from video2music_tpu.train.convert import convert_reference_amt_v2
+
+    torch.manual_seed(11)
+    d, ff, heads, n_layers, E = 16, 32, 2, 4, 6
+    Lv, Lc, sem, emo = 12, 11, 7, 2
+    vf = sem + 1 + 1 + emo
+
+    class _Stack(torch.nn.Module):
+        def __init__(self, make_layer):
+            super().__init__()
+            rate = min(3, n_layers - 1)
+            self.layers = torch.nn.ModuleList([
+                make_layer(_TorchGLU(d, ff) if i < rate
+                           else _TorchSharedMoE(d, ff, n_experts=E))
+                for i in range(n_layers)])
+            self.norm = torch.nn.LayerNorm(d)
+
+    class _Transformer(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder = _Stack(lambda m: _TorchV22EncLayer(d, heads, m))
+            self.decoder = _Stack(lambda m: _TorchV22DecLayer(d, heads, m))
+
+    class _TorchV22(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.embedding_root = torch.nn.Embedding(CC.CHORD_ROOT_SIZE, d)
+            self.embedding_attr = torch.nn.Embedding(CC.CHORD_ATTR_SIZE, d)
+            self.Linear_chord = torch.nn.Linear(d + 1, d)
+            self.Linear_vis = torch.nn.Linear(vf, d)
+            self.Wout = torch.nn.Linear(d, CC.CHORD_SIZE)
+            self.transformer = _Transformer()
+
+        def forward(self, x_root, x_attr, key, semf, scene, motion, emotion):
+            xe = self.embedding_root(x_root) + self.embedding_attr(x_attr)
+            keyp = key[:, None, :].expand(-1, xe.shape[1], 1)
+            xf = self.Linear_chord(torch.cat([xe, keyp], dim=-1))
+            vfc = torch.cat([semf, scene[..., None], motion[..., None],
+                             emotion], dim=-1)
+            vfe = self.Linear_vis(vfc)
+            mem = vfe
+            for layer in self.transformer.encoder.layers:
+                mem = layer(mem)
+            mem = self.transformer.encoder.norm(mem)
+            out = xf
+            for layer in self.transformer.decoder.layers:
+                out = layer(out, mem)
+            out = self.transformer.decoder.norm(out)
+            return self.Wout(out)
+
+    t = _TorchV22().eval()
+    x_root = rng.integers(0, 13, (1, Lc))
+    x_attr = rng.integers(0, 14, (1, Lc))
+    key = np.ones((1, 1), np.float32)
+    semf = rng.standard_normal((1, Lv, sem)).astype(np.float32)
+    scene = rng.integers(0, 5, (1, Lv)).astype(np.float32)
+    motion = rng.standard_normal((1, Lv)).astype(np.float32)
+    emotion = rng.uniform(size=(1, Lv, emo)).astype(np.float32)
+    with torch.no_grad():
+        want = t(torch.from_numpy(x_root), torch.from_numpy(x_attr),
+                 torch.from_numpy(key), torch.from_numpy(semf),
+                 torch.from_numpy(scene), torch.from_numpy(motion),
+                 torch.from_numpy(emotion)).numpy()
+
+    cfg = amt_config("2.2", n_layers=n_layers, num_heads=heads, d_model=d,
+                     d_ff=ff, dropout=0.0, max_seq_video=Lv,
+                     max_seq_chord=Lc + 1, total_vf_dim=vf)
+    model = VideoMusicTransformer(cfg=cfg)
+    params = convert_reference_amt_v2(t.state_dict(), n_layers=n_layers,
+                                      n_experts=E)
+    got, _ = model.apply(
+        {"params": params}, jnp.asarray(x_root.astype(np.int32)),
+        jnp.asarray(x_root.astype(np.int32)),
+        jnp.asarray(x_attr.astype(np.int32)), jnp.asarray(semf),
+        jnp.asarray(key), jnp.asarray(scene), jnp.asarray(motion),
+        jnp.asarray(emotion), deterministic=True,
+        mutable=["moe_state", "metrics"])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-4)

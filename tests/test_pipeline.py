@@ -122,3 +122,68 @@ def test_drawtext_filter_and_captions():
     # escaping: quotes/colons must not break the filter grammar
     f2 = drawtext_filter([("A:b'c", 0, 1)])
     assert "A\\:b\\'c" in f2
+
+
+class _FakeTestDS:
+    """Duck-typed test split for the demo server (ids + samples)."""
+
+    def __init__(self, rng, n_sec=12):
+        self._rng = rng
+        self.n_sec = n_sec
+        self.ids = ["demo1", "demo2"]
+
+    def __len__(self):
+        return len(self.ids)
+
+    def __getitem__(self, idx):
+        rng = np.random.default_rng(idx)
+        n = self.n_sec
+        chord = np.full(300, C.CHORD_PAD, np.int64)
+        chord[:n] = rng.integers(1, C.CHORD_END, n)
+        return {
+            "semantic": rng.standard_normal((n, 768)).astype(np.float32),
+            "emotion": rng.uniform(size=(n, 6)).astype(np.float32),
+            "scene_offset": np.arange(n, dtype=np.float32),
+            "motion": rng.standard_normal((n,)).astype(np.float32),
+            "chord": chord,
+        }
+
+
+def test_demo_server_end_to_end(tiny_pipeline, tmp_path, rng):
+    """Drive the stdlib web demo (the gradio-surface replacement) over
+    HTTP: form page lists test ids, POST /generate returns the chords and
+    a MIDI link, /files serves it, traversal is rejected."""
+    import threading
+    import urllib.request
+    import urllib.parse
+
+    from video2music_tpu.cli.demo import DemoApp, make_server
+
+    app = DemoApp(output_dir=str(tmp_path / "demo_out"),
+                  v2m=tiny_pipeline, test_ds=_FakeTestDS(rng))
+    srv = make_server(app)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        page = urllib.request.urlopen(base + "/").read().decode()
+        assert "demo1" in page and "<form" in page
+
+        data = urllib.parse.urlencode({
+            "test_id": "demo1", "primer": "C Am", "key": "C major",
+            "temperature": "1.0", "num_prime_chord": "2"}).encode()
+        out = urllib.request.urlopen(base + "/generate", data=data).read()
+        out = out.decode()
+        assert "C major" in out
+        assert "/files/run_001/output.mid" in out
+
+        midi = urllib.request.urlopen(
+            base + "/files/run_001/output.mid").read()
+        assert midi[:4] == b"MThd"
+
+        import pytest as _pytest
+        with _pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(base + "/files/../../etc/passwd")
+    finally:
+        srv.shutdown()
