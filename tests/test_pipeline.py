@@ -187,3 +187,21 @@ def test_demo_server_end_to_end(tiny_pipeline, tmp_path, rng):
             urllib.request.urlopen(base + "/files/../../etc/passwd")
     finally:
         srv.shutdown()
+
+
+def test_silu_approximation_fit():
+    """The ported sigmoid_approximately experiment converges to a decent
+    exponential SiLU fit on the reference's fitting range."""
+    pytest.importorskip("scipy")
+    from video2music_tpu.cli.silu_approx import (approx,
+                                                 fit_silu_approximation,
+                                                 silu)
+
+    params = fit_silu_approximation()
+    x = np.linspace(-5, 4, 200)
+    err = np.max(np.abs(silu(x) - approx(params, x)))
+    # the reference's own Powell fit from its init lands around ~0.8 max
+    # error; assert convergence to that ballpark and a clear improvement
+    # over predicting zero (max |silu| ~= 3.9 on the range)
+    assert err < 1.0, err
+    assert err < 0.3 * np.max(np.abs(silu(x)))

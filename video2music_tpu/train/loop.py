@@ -16,6 +16,7 @@ from __future__ import annotations
 import csv
 import os
 import time
+import dataclasses
 from dataclasses import dataclass, field
 from typing import Callable, Dict, Optional
 
@@ -80,7 +81,26 @@ class LoopConfig:
     # init_step = epoch * len(loader), train.py:188-193). Ignored on a full
     # TrainState restore, whose own step counter already carries the offset.
     init_steps: int = 0
+    # Resume from the newest epoch_NNNN snapshot in output_dir/weights when
+    # present (a robustness upgrade over the reference's manual
+    # -continue_weights/-continue_epoch pair); epoch numbering continues.
+    auto_resume: bool = False
     log_fn: Callable[[str], None] = print
+
+
+def _latest_epoch_snapshot(weights_dir: str):
+    """(path, epoch) of the newest epoch_NNNN checkpoint, or (None, 0)."""
+    best, best_epoch = None, 0
+    if os.path.isdir(weights_dir):
+        for name in os.listdir(weights_dir):
+            if name.startswith("epoch_"):
+                try:
+                    e = int(name.split("_", 1)[1])
+                except ValueError:
+                    continue
+                if e > best_epoch:
+                    best, best_epoch = os.path.join(weights_dir, name), e
+    return best, best_epoch
 
 
 def _restore_continue(loop: LoopConfig, state, tcfg: TrainConfig):
@@ -133,11 +153,20 @@ def train_amt(model, tcfg: TrainConfig, loop: LoopConfig, train_ds, val_ds,
     first = next(make_batches(train_ds, loop.batch_size, shuffle=False))
     state = create_train_state(model, tx, jax.random.PRNGKey(tcfg.seed),
                                first)
+    start_epoch = 0
+    if not loop.continue_from and loop.auto_resume:
+        snap, start_epoch = _latest_epoch_snapshot(weights_dir)
+        if snap:
+            loop = dataclasses.replace(loop, continue_from=snap)
+            loop.log_fn(f"auto-resume: epoch {start_epoch} from {snap}")
     if loop.continue_from:
         state = _restore_continue(loop, state, tcfg)
 
+    # donate the train state: params/opt buffers update in place instead
+    # of being copied every step (ignored with a warning on CPU)
     train_step = jax.jit(make_amt_train_step(model, tx, tcfg,
-                                             drop_loss=drop_loss))
+                                             drop_loss=drop_loss),
+                         donate_argnums=(0,))
     eval_step = jax.jit(make_amt_eval_step(model, tcfg))
     sched = noam_schedule(model.cfg.d_model, tcfg.warmup_steps)
 
@@ -149,7 +178,7 @@ def train_amt(model, tcfg: TrainConfig, loop: LoopConfig, train_ds, val_ds,
     # threaded prefetch: file parsing (C++ fast path) overlaps device compute
     loader = PrefetchLoader(train_ds, loop.batch_size, shuffle=True,
                             seed=loop.seed)
-    for epoch in range(loop.epochs):
+    for epoch in range(start_epoch, loop.epochs):
         t0 = time.time()
         state, _ = _epoch_pass(train_step, state, loader,
                                device_put=device_put)
@@ -207,7 +236,8 @@ def train_regression(model, tcfg: TrainConfig, loop: LoopConfig, train_ds,
     if loop.continue_from:
         state = _restore_continue(loop, state, tcfg)
 
-    train_step = jax.jit(make_regression_train_step(model, tx, tcfg))
+    train_step = jax.jit(make_regression_train_step(model, tx, tcfg),
+                         donate_argnums=(0,))
     eval_step = jax.jit(make_regression_eval_step(model))
 
     if not os.path.isfile(results_file):
@@ -273,7 +303,8 @@ def train_music_transformer(model, tcfg: TrainConfig, loop: LoopConfig,
     if loop.continue_from:
         state = _restore_continue(loop, state, tcfg)
 
-    train_step = jax.jit(make_music_transformer_train_step(model, tx, tcfg))
+    train_step = jax.jit(make_music_transformer_train_step(model, tx, tcfg),
+                         donate_argnums=(0,))
     eval_step = jax.jit(make_music_transformer_eval_step(model, tcfg))
 
     if not os.path.isfile(results_file):
