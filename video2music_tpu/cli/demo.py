@@ -138,12 +138,14 @@ class DemoApp:
                 inv[int(c)].replace(":min", "m").replace(":", "")
                 for c in sample["chord"][:n] if int(c) < C.CHORD_END)
 
+        # serialize generation: the jitted pipeline (and jax dispatch in
+        # general) is not safe under the threading server's concurrency
         with self._lock:
             self._run += 1
             out_dir = os.path.join(self.output_dir, f"run_{self._run:03d}")
-        result = self.v2m.generate(primer=primer, key=key,
-                                   temperature=temperature, features=feats,
-                                   output_dir=out_dir)
+            result = self.v2m.generate(primer=primer, key=key,
+                                       temperature=temperature,
+                                       features=feats, output_dir=out_dir)
 
         rel = os.path.basename(out_dir)
         links = []
