@@ -101,6 +101,28 @@ def test_prefetch_loader_covers_dataset():
     assert len(batches2) == 3
 
 
+def test_device_prefetch_preserves_order_and_content():
+    """device_prefetch must yield every batch once, in order, with the
+    values intact (staged through jax.device_put by default)."""
+    from video2music_tpu.data.loader import device_prefetch
+
+    batches = [{"x": np.full((2,), i, np.float32)} for i in range(5)]
+    out = list(device_prefetch(iter(batches)))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        np.testing.assert_array_equal(np.asarray(b["x"]),
+                                      np.full((2,), i, np.float32))
+    # custom put callables are honored (mesh shard_batch stand-in)
+    calls = []
+    def put(b):
+        calls.append(1)
+        return b
+    assert len(list(device_prefetch(iter(batches), put))) == 5
+    assert len(calls) == 5
+    # empty iterators terminate cleanly
+    assert list(device_prefetch(iter([]))) == []
+
+
 def test_chord_lab_no_key_header_defaults_minor(tmp_path):
     """No 'key' header -> minor (1), matching the Python 'major' in ''
     test (dataset.py) on both parser paths."""

@@ -177,6 +177,64 @@ def test_sharded_train_step_matches_single_device(rng):
                                rtol=1e-3, atol=1e-5)
 
 
+def test_tensor_parallel_train_step_matches_single_device(rng):
+    """dp=2 x (tp+ep)=4 mesh with Megatron column/row shardings: the TP
+    step must agree with the unsharded one (GSPMD annotations are
+    semantics-preserving), and the TP rules must actually shard dense
+    attention/FFN kernels (guard against a silent replicate-everything)."""
+    from jax.sharding import PartitionSpec as P
+
+    model = _tiny_amt("2.2")
+    tcfg = TrainConfig(optimizer="adam", lr=1e-3)
+    tx = make_optimizer(tcfg, d_model=16)
+    batch = _amt_batch(rng, B=8)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+
+    step = make_amt_train_step(model, tx, tcfg)
+    ref_state, ref_metrics = jax.jit(step)(state, batch)
+
+    mesh = create_mesh((2, 4))
+    p_sh = param_shardings(mesh, state.params, tp=True)
+    specs = {jax.tree_util.keystr(p): s.spec
+             for p, s in jax.tree_util.tree_leaves_with_path(p_sh)}
+    # column-parallel: heads sharded on the qkv output features
+    assert specs["['dec_0']['self_attn']['q_proj']['kernel']"] == \
+        P(None, "model")
+    # row-parallel: out-proj input features sharded, bias replicated
+    assert specs["['dec_0']['self_attn']['out_proj']['kernel']"] == \
+        P("model", None)
+    assert specs["['dec_0']['self_attn']['out_proj']['bias']"] == P()
+    # FFN up/down
+    assert specs["['enc_0']['ffn']['linear1']['kernel']"] == P(None, "model")
+    assert specs["['enc_0']['ffn']['linear2']['kernel']"] == P("model", None)
+    # shared expert falls back to inner-d_ff TP (E=1 can't EP-shard)
+    assert specs["['enc_1']['ffn']['shared_expert']['w1']"] == \
+        P(None, None, "model")
+    assert specs["['enc_1']['ffn']['shared_expert']['w2']"] == \
+        P(None, "model", None)
+    # 6 experts on a 4-wide axis: EP indivisible -> inner-dim TP fallback
+    assert specs["['enc_1']['ffn']['experts']['w1']"] == \
+        P(None, None, "model")
+
+    sharded_params = jax.tree_util.tree_map(jax.device_put, state.params,
+                                            p_sh)
+    rep = replicated(mesh)
+    sharded_state = state.replace(
+        params=sharded_params,
+        moe_state=jax.device_put(state.moe_state, rep),
+        opt_state=jax.device_put(state.opt_state, rep),
+        rng=jax.device_put(state.rng, rep),
+        step=jax.device_put(state.step, rep))
+    sharded_batch = shard_batch(mesh, batch)
+    got_state, got_metrics = jax.jit(step)(sharded_state, sharded_batch)
+    np.testing.assert_allclose(float(got_metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=1e-4)
+    ref_leaf = jax.tree_util.tree_leaves(ref_state.params)[0]
+    got_leaf = jax.tree_util.tree_leaves(got_state.params)[0]
+    np.testing.assert_allclose(np.asarray(got_leaf), np.asarray(ref_leaf),
+                               rtol=1e-3, atol=1e-5)
+
+
 def test_music_transformer_train_step(rng):
     from video2music_tpu.core.config import MusicTransformerConfig
     from video2music_tpu.models import MusicTransformer

@@ -18,6 +18,35 @@ from typing import Iterator, Optional
 import numpy as np
 
 
+def device_prefetch(batches, put=None, depth: int = 2):
+    """Stage up to ``depth`` batches on the device ahead of consumption.
+
+    JAX dispatch is asynchronous, so issuing ``device_put`` for the *next*
+    batch before the current step's result is consumed overlaps the host→
+    device copy with device compute — the TPU-side analogue of the
+    reference's ``pin_memory``/worker prefetch. ``put=None`` uses plain
+    ``jax.device_put`` (committed to the default device); pass a sharding-
+    aware callable (e.g. ``partial(shard_batch, mesh)``) for mesh runs.
+    """
+    if put is None:
+        import jax
+        put = jax.device_put
+    from collections import deque
+
+    buf: "deque" = deque()
+    it = iter(batches)
+    exhausted = False
+    while True:
+        while not exhausted and len(buf) < depth:
+            try:
+                buf.append(put(next(it)))
+            except StopIteration:
+                exhausted = True
+        if not buf:
+            return
+        yield buf.popleft()
+
+
 class PrefetchLoader:
     """Iterable over stacked numpy batch dicts with background prefetch."""
 

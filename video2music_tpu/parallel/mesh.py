@@ -13,6 +13,17 @@ ICI: a 2-D ``("data", "model")`` mesh where
     over "model" (expert parallelism: with dense top-k dispatch each device
     computes its expert shard for all tokens and the combine einsum's
     contraction over E becomes a reduce-scatter/psum XLA picks);
+  * with ``tp=True``, dense attention and FFN weights additionally take
+    Megatron-style tensor parallelism over the same "model" axis:
+    q/k/v projections and FFN up/gate projections are column-parallel
+    (output features sharded — for attention this splits *heads*, so each
+    device holds whole heads and the softmax needs no communication), while
+    out-projections and FFN down-projections are row-parallel (input
+    features sharded — XLA closes each layer with one psum over "model").
+    Shared-expert stacks shard their inner d_ff the same way; expert stacks
+    whose count does not divide the axis fall back to inner-d_ff TP instead
+    of EP. GSPMD guarantees these annotations are semantics-preserving, so
+    TP math is bit-comparable to the replicated step (tested);
   * everything else is replicated.
 
 No hand-written collectives are needed; ``jax.jit`` with these shardings
@@ -84,28 +95,84 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
+def _path_names(path: tuple) -> list:
+    return [getattr(k, "key", getattr(k, "name", None)) for k in path]
+
+
 def _is_expert_stack(path: tuple, leaf) -> bool:
     """True for stacked per-expert weights: any path component named
     ``experts``/``shared_expert`` with a leading expert dimension >= 1 and
     rank >= 2 (kernels (E, D, F) and biases (E, F))."""
-    names = {getattr(k, "key", getattr(k, "name", None)) for k in path}
-    return bool(names & {"experts"}) and getattr(leaf, "ndim", 0) >= 2
+    return ("experts" in _path_names(path)
+            and getattr(leaf, "ndim", 0) >= 2)
 
 
-def param_shardings(mesh: Mesh, params: Any) -> Any:
-    """Sharding pytree for model params: expert stacks split over "model",
-    everything else replicated.
+# Megatron-style TP roles, keyed by the owning flax module name.
+# Column-parallel = shard OUTPUT features (last kernel axis + the bias);
+# row-parallel = shard INPUT features (first kernel axis, bias replicated,
+# XLA inserts the closing psum over "model").
+_TP_COLUMN = frozenset({"q_proj", "k_proj", "v_proj", "gate", "linear1"})
+_TP_ROW = frozenset({"out_proj", "linear2"})
+# Per-expert stacked weights (E, D, F)/(E, F, D)/(E, F): which axis is the
+# inner d_ff when falling back from EP to inner-dim TP.
+_STACK_COLUMN = frozenset({"w1", "wg", "b1", "bg"})
+_STACK_ROW = frozenset({"w2"})
 
-    Only shards when the expert count divides the model-axis size; odd expert
-    counts (the reference default is 6 experts) fall back to replication on
-    mismatched meshes rather than failing.
+
+def _tp_spec(path: tuple, leaf, model_size: int) -> Optional[P]:
+    """Tensor-parallel PartitionSpec for a dense attention/FFN weight, or
+    None when the leaf is not TP-shardable (wrong module, odd divisibility).
+    """
+    names = _path_names(path)
+    if len(names) < 2:
+        return None
+    parent, leaf_name = names[-2], names[-1]
+    ndim = getattr(leaf, "ndim", 0)
+    if parent in _TP_COLUMN:
+        if leaf_name == "kernel" and ndim == 2 \
+                and leaf.shape[1] % model_size == 0:
+            return P(None, MODEL_AXIS)
+        if leaf_name == "bias" and ndim == 1 \
+                and leaf.shape[0] % model_size == 0:
+            return P(MODEL_AXIS)
+    elif parent in _TP_ROW:
+        if leaf_name == "kernel" and ndim == 2 \
+                and leaf.shape[0] % model_size == 0:
+            return P(MODEL_AXIS, None)
+        # row-parallel bias stays replicated (added after the psum)
+    elif parent in {"experts", "shared_expert"}:
+        # Stacked (E, ...) weights where the E axis is not EP-shardable:
+        # shard the inner d_ff instead (column for w1/wg/b1/bg, row for w2).
+        if leaf_name in _STACK_COLUMN and ndim >= 2 \
+                and leaf.shape[-1] % model_size == 0:
+            return P(*([None] * (ndim - 1)), MODEL_AXIS)
+        if leaf_name in _STACK_ROW and ndim == 3 \
+                and leaf.shape[1] % model_size == 0:
+            return P(None, MODEL_AXIS, None)
+    return None
+
+
+def param_shardings(mesh: Mesh, params: Any, tp: bool = False) -> Any:
+    """Sharding pytree for model params.
+
+    Expert stacks split their expert axis over "model" (EP). With
+    ``tp=True``, dense attention/FFN weights additionally take
+    Megatron-style column/row tensor parallelism over the same axis (see
+    module docstring); weights whose dimensions don't divide the axis fall
+    back to replication rather than failing — the reference default of 6
+    experts EP-shards on a 2- or 3-wide model axis and TP-falls-back on 4.
     """
     model_size = mesh.shape[MODEL_AXIS]
 
     def rule(path, leaf):
-        if (model_size > 1 and _is_expert_stack(path, leaf)
-                and leaf.shape[0] % model_size == 0):
-            return NamedSharding(mesh, P(MODEL_AXIS))
+        if model_size > 1:
+            if (_is_expert_stack(path, leaf)
+                    and leaf.shape[0] % model_size == 0):
+                return NamedSharding(mesh, P(MODEL_AXIS))
+            if tp:
+                spec = _tp_spec(path, leaf, model_size)
+                if spec is not None:
+                    return NamedSharding(mesh, spec)
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(rule, params)

@@ -26,7 +26,7 @@ import numpy as np
 from ..core import constants as C
 from ..core.config import TrainConfig
 from ..data.dataset import batches as make_batches
-from ..data.loader import PrefetchLoader
+from ..data.loader import PrefetchLoader, device_prefetch
 from . import checkpoint as ckpt
 from .optim import make_optimizer, noam_schedule
 from .step import (TrainState, create_train_state, make_amt_eval_step,
@@ -120,10 +120,10 @@ def _restore_continue(loop: LoopConfig, state, tcfg: TrainConfig):
 
 
 def _epoch_pass(step_fn, state, batches_iter, device_put=None):
+    # device_prefetch stages the next batch's H2D copy while the current
+    # step computes (async dispatch); device_put=None uses jax.device_put
     losses = []
-    for batch in batches_iter:
-        if device_put is not None:
-            batch = device_put(batch)
+    for batch in device_prefetch(batches_iter, device_put):
         state, m = step_fn(state, batch)
         losses.append(m)
     return state, losses
@@ -131,9 +131,8 @@ def _epoch_pass(step_fn, state, batches_iter, device_put=None):
 
 def _eval_pass(eval_fn, state, dataset, batch_size, device_put=None):
     rows = []
-    for batch in make_batches(dataset, batch_size, shuffle=False):
-        if device_put is not None:
-            batch = device_put(batch)
+    for batch in device_prefetch(
+            make_batches(dataset, batch_size, shuffle=False), device_put):
         rows.append(eval_fn(state.params, state.moe_state, batch))
     return _mean_metrics(rows)
 
