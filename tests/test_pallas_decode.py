@@ -95,6 +95,98 @@ def test_fused_step_logits_match_unfused(rng, version):
                                    err_msg=f"pos={pos}")
 
 
+@pytest.mark.parametrize("version", ["2.2", "2.1"])
+def test_fused_int8_step_matches_fake_quant_oracle(rng, version):
+    """Int8 weight-only decode: the fused kernels reading int8 weights +
+    per-column scales must agree with the unfused XLA step run on
+    fake-quantized params (dequantize(quantize(W)) substituted) — the
+    per-column scale commutes with the matmul, so the two differ only by
+    fp reassociation."""
+    from video2music_tpu.ops.pallas_decode import fake_quantize_decoder_params
+
+    model, cfg = _tiny(version)
+    feats = _feats(rng)
+    variables = _init(model, feats)
+
+    memory, _ = model.apply(variables, feats["semantic"],
+                            feats["scene_offset"], feats["motion"],
+                            feats["emotion"], method=model.encode,
+                            mutable=["metrics", "moe_state"])
+    _, primed = model.apply(variables, memory, method=model.prime,
+                            mutable=["cache"])
+
+    step_logits = make_fused_step(variables["params"], cfg, interpret=True,
+                                  quantize="int8")
+    fused_caches = init_fused_caches(variables["params"], cfg,
+                                     primed["cache"])
+    fq = fake_quantize_decoder_params(variables["params"], cfg)
+    fq_variables = {**variables, "params": fq}
+
+    tokens = rng.integers(0, C.CHORD_END, 6)
+    roots = rng.integers(0, 13, 6)
+    attrs = rng.integers(0, 14, 6)
+    key = feats["key"]
+
+    flax_cache = primed["cache"]
+    fp_logits = []
+    for pos in range(6):
+        t = jnp.asarray([[tokens[pos]]], jnp.int32)
+        r = jnp.asarray([[roots[pos]]], jnp.int32)
+        a = jnp.asarray([[attrs[pos]]], jnp.int32)
+        want, mutated = model.apply(
+            {**fq_variables, "cache": flax_cache}, t, r, a, key,
+            jnp.asarray(pos, jnp.int32), method=model.decode_step,
+            mutable=["cache", "metrics", "moe_state"])
+        flax_cache = mutated["cache"]
+        got, fused_caches = step_logits(fused_caches, t, r, a, key,
+                                        jnp.asarray(pos, jnp.int32))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=f"pos={pos}")
+        fp_logits.append(np.asarray(got))
+
+
+def test_int8_quantization_error_is_small(rng):
+    """Weight-only int8 with per-column scales must stay close to the fp
+    weights: round-trip relative error bounded by the 127-level grid."""
+    from video2music_tpu.ops.pallas_decode import dequantize, quantize_weight
+
+    w = jnp.asarray(rng.standard_normal((32, 48)).astype(np.float32))
+    q, s = quantize_weight(w)
+    assert q.dtype == jnp.int8
+    back = dequantize(q, s)
+    # max error per column is half a quantization step = s/2
+    err = np.abs(np.asarray(back) - np.asarray(w))
+    bound = np.asarray(s).reshape(1, -1) / 2 + 1e-7
+    assert (err <= bound).all()
+
+
+def test_int8_generate_runs_unfused_fake_quant(rng):
+    """quantize='int8' on the unfused path substitutes fake-quant params;
+    the generate must run and produce valid tokens (and differ only via
+    quantization noise from the fp run, not crash or emit PAD/END)."""
+    model, cfg = _tiny("2.2")
+    feats = _feats(rng)
+    variables = _init(model, feats)
+    primer = jnp.zeros((1, 4), jnp.int32).at[0, 0].set(1)
+    kw = dict(semantic=feats["semantic"], key=feats["key"],
+              scene_offset=feats["scene_offset"], motion=feats["motion"],
+              emotion=feats["emotion"], primer=primer, primer_root=primer,
+              primer_attr=primer, num_primer=2,
+              gcfg=GenerateConfig(target_seq_length=12))
+    out = generate_chords(model, variables, rng=jax.random.PRNGKey(7),
+                          fused="off", quantize="int8", **kw)
+    seq = np.asarray(out["gen_seq"])[0, 2:]
+    assert ((seq >= 0) & (seq < C.CHORD_END)).all()
+    # fused int8 (interpret) must match the fake-quant unfused sampler
+    out_fused = generate_chords(model, variables, rng=jax.random.PRNGKey(7),
+                                fused="on", interpret=True,
+                                quantize="int8", **kw)
+    for k in ("gen_seq", "gen_seq_root", "gen_seq_attr"):
+        np.testing.assert_array_equal(np.asarray(out_fused[k]),
+                                      np.asarray(out[k]), err_msg=k)
+
+
 def test_fused_generate_matches_unfused(rng):
     """Whole constrained generate: fused and unfused backends produce the
     same token sequences given the same rng."""

@@ -50,11 +50,13 @@ def init_fused_caches(params: Dict[str, Any], cfg,
     return caches
 
 
-def make_fused_step(params: Dict[str, Any], cfg, *, interpret: bool = False):
+def make_fused_step(params: Dict[str, Any], cfg, *, interpret: bool = False,
+                    quantize: str = None):
     """Returns step_logits(caches, token, token_root, token_attr, key, pos)
-    -> (logits (1, CHORD_SIZE), new_caches)."""
+    -> (logits (1, CHORD_SIZE), new_caches). quantize="int8" runs the
+    decoder-layer matmuls from int8 weights (ops/pallas_decode docstring)."""
     assert fused_decode_eligible(cfg)
-    packed = pack_decoder_layers(params, cfg)
+    packed = pack_decoder_layers(params, cfg, quantize=quantize)
     rope = cfg.decoder_layers[0].attn.rope
     H = cfg.num_heads
     k_top = cfg.moe.n_experts_per_token

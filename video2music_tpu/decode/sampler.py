@@ -69,7 +69,8 @@ def _sample_next(rng, logits, gen_seq, pos, gcfg: GenerateConfig):
 def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
                     emotion, primer, primer_root, primer_attr, num_primer,
                     rng, gcfg: GenerateConfig = GenerateConfig(),
-                    fused: str = "auto", interpret: bool = False):
+                    fused: str = "auto", interpret: bool = False,
+                    quantize: str = None):
     """Generate a (B, target_seq_length) chord-id sequence.
 
     Args:
@@ -85,6 +86,11 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
         config is eligible), "on" (force, e.g. with interpret=True on CPU)
         or "off".
       interpret: run the fused kernels in Pallas interpreter mode (tests).
+      quantize: None (compute dtype) or "int8" — weight-only int8 decode:
+        the fused kernels read int8 weights (half the HBM traffic that
+        bounds the decode step); on the unfused path the same quantization
+        is applied as fake-quant params so numerics track the fused path.
+        Encoder, priming, embeddings and heads stay full precision.
     Returns:
       dict with gen_seq / gen_seq_root / gen_seq_attr, each
       (B, target_seq_length) int32.
@@ -137,9 +143,20 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
     if use_fused:
         from .fused import init_fused_caches, make_fused_step
         step_logits = make_fused_step(variables["params"], model.cfg,
-                                      interpret=interpret)
+                                      interpret=interpret, quantize=quantize)
         cache = init_fused_caches(variables["params"], model.cfg, cache)
     else:
+        if quantize == "int8":
+            if not fused_decode_eligible(model.cfg):
+                raise ValueError(
+                    "quantize='int8' covers the fused-decode-eligible "
+                    "configs (V2-family decoder wiring); got an ineligible "
+                    "config")
+            from ..ops.pallas_decode import fake_quantize_decoder_params
+            variables = {**variables,
+                         "params": fake_quantize_decoder_params(
+                             variables["params"], model.cfg)}
+
         def step_logits(cache, token, token_root, token_attr, key_, pos):
             logits, mutated = model.apply(
                 {**variables, "cache": cache},

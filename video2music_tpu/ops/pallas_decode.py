@@ -23,6 +23,15 @@ Weight layout: packed host-side once per generate call (QKV kernels
 concatenated, SwiGLU linear1|gate concatenated, per-pair-interleaved RoPE
 cos/sin tables); XLA hoists the packing out of the decode scan as loop
 invariants.
+
+Int8 weight-only mode (``pack_decoder_layers(..., quantize="int8")``): the
+decode step is HBM weight-traffic bound (see CLAUDE.md), so every large
+matmul weight is stored int8 with a symmetric per-output-channel f32 scale
+and dequantized *after* the dot — ``x @ (Wq * s) == (x @ Wq) * s`` for
+per-column scales — halving the per-step HBM bytes. Biases, norms, the
+tiny MoE gate, and all activations/caches stay in the compute dtype. The
+same quantization applied to the unfused XLA path (fake-quant params) is
+the numerical oracle (tests/test_pallas_decode.py).
 """
 
 from __future__ import annotations
@@ -104,12 +113,23 @@ def _cached_attention(q, k_cache, v_cache, n_heads, *, pos=None):
                    keepdims=True)
 
 
+def _scaled_dot(x, w_ref, s_ref):
+    """dot against an optionally int8 weight ref: dequantization happens on
+    the OUTPUT via the per-column scale row, so the matmul input reads the
+    int8 bytes straight out of VMEM (half the HBM->VMEM traffic)."""
+    out = jnp.dot(x, w_ref[:].astype(x.dtype),
+                  preferred_element_type=jnp.float32)
+    if s_ref is not None:
+        out = out * s_ref[:].astype(jnp.float32)
+    return out
+
+
 def _attn_block(x, pos, wqkv, bqkv, wo, bo, kc_ref, vc_ref, cos_p, sin_p,
-                n_heads):
+                n_heads, sqkv=None, so=None):
     """Self-attention sublayer: (1, D) f32 output; writes this position's
     K/V into the (aliased) cache refs, then attends over them."""
     D = x.shape[-1]
-    qkv = jnp.dot(x, wqkv[:], preferred_element_type=jnp.float32)
+    qkv = _scaled_dot(x, wqkv, sqkv)
     qkv = qkv + bqkv[:].astype(jnp.float32)  # (1, 3D)
     q = qkv[:, :D]
     k = qkv[:, D:2 * D]
@@ -127,37 +147,45 @@ def _attn_block(x, pos, wqkv, bqkv, wo, bo, kc_ref, vc_ref, cos_p, sin_p,
     kc_ref[:] = k_all
     vc_ref[:] = v_all
     attn = _cached_attention(q, k_all, v_all, n_heads, pos=pos)
-    out = jnp.dot(attn.astype(wo.dtype), wo[:],
-                  preferred_element_type=jnp.float32)
+    out = _scaled_dot(attn.astype(x.dtype), wo, so)
     return out + bo[:].astype(jnp.float32)
 
 
-def _cross_block(x, wq, bq, wo, bo, kx_ref, vx_ref, cos_p, sin_p, n_heads):
+def _cross_block(x, wq, bq, wo, bo, kx_ref, vx_ref, cos_p, sin_p, n_heads,
+                 sq=None, so=None):
     """Cross-attention sublayer over primed memory K/V: (1, D) f32."""
-    q = jnp.dot(x, wq[:], preferred_element_type=jnp.float32)
+    q = _scaled_dot(x, wq, sq)
     q = q + bq[:].astype(jnp.float32)
     if cos_p is not None:
         q = q * cos_p + _rot_pairs(q) * sin_p
     attn = _cached_attention(q, kx_ref[:], vx_ref[:], n_heads, pos=None)
-    out = jnp.dot(attn.astype(wo.dtype), wo[:],
-                  preferred_element_type=jnp.float32)
+    out = _scaled_dot(attn.astype(x.dtype), wo, so)
     return out + bo[:].astype(jnp.float32)
 
 
-def _swiglu(x_bf, w1g, b1g, w2, b2):
-    """x (1, D) -> (1, D) f32; w1g = [linear1|gate] concat (D, 2F)."""
+def _swiglu(x_bf, w1g, b1g, w2, b2, s1g=None, s2=None):
+    """x (1, D) -> (1, D) f32; w1g = [linear1|gate] concat (D, 2F).
+    s1g/s2 are per-column dequant scales when w1g/w2 are int8 (arrays,
+    already read out of their refs — the expert path reads them via
+    one-hot matmuls)."""
     F = w2.shape[0]
-    hg = jnp.dot(x_bf, w1g, preferred_element_type=jnp.float32)
+    hg = jnp.dot(x_bf, w1g.astype(x_bf.dtype),
+                 preferred_element_type=jnp.float32)
+    if s1g is not None:
+        hg = hg * s1g.astype(jnp.float32)
     hg = hg + b1g.astype(jnp.float32)  # (1, 2F)
     h, g = hg[:, :F], hg[:, F:]
     h = h * (g * jax.nn.sigmoid(g))  # silu(g)
-    out = jnp.dot(h.astype(w2.dtype), w2, preferred_element_type=jnp.float32)
+    out = jnp.dot(h.astype(x_bf.dtype), w2.astype(x_bf.dtype),
+                  preferred_element_type=jnp.float32)
+    if s2 is not None:
+        out = out * s2.astype(jnp.float32)
     return out + b2.astype(jnp.float32)
 
 
 def _prologue(pos_ref, x_ref, cos_ref, sin_ref, wqkv, bqkv, wo, bo,
               cwq, cbq, cwo, cbo, nscale, nbias, kx, vx, kc_ref, vc_ref,
-              n_heads, rope):
+              n_heads, rope, sqkv=None, so=None, scq=None, sco=None):
     """Shared attention + cross-attention prologue -> x2 (post-norm2, f32)."""
     pos = pos_ref[0]
     if rope:
@@ -167,11 +195,11 @@ def _prologue(pos_ref, x_ref, cos_ref, sin_ref, wqkv, bqkv, wo, bo,
         cos_p = sin_p = None
     x0 = x_ref[:]
     h = _attn_block(x0, pos, wqkv, bqkv, wo, bo, kc_ref, vc_ref,
-                    cos_p, sin_p, n_heads)
+                    cos_p, sin_p, n_heads, sqkv, so)
     x1 = _layer_norm(x0.astype(jnp.float32) + h, nscale[0:1, :],
                      nbias[0:1, :])
     h = _cross_block(x1.astype(x0.dtype), cwq, cbq, cwo, cbo, kx, vx,
-                     cos_p, sin_p, n_heads)
+                     cos_p, sin_p, n_heads, scq, sco)
     return _layer_norm(x1 + h, nscale[1:2, :], nbias[1:2, :])
 
 
@@ -180,13 +208,20 @@ def _shallow_kernel(pos_ref, x_ref, cos_ref, sin_ref,
                     cwq, cbq, cwo, cbo,
                     nscale, nbias,
                     fw1g, fb1g, fw2, fb2,
-                    kx, vx, kc_in, vc_in,
-                    kc_ref, vc_ref, out_ref, *, n_heads, rope):
+                    *rest, n_heads, rope, quant=False):
+    if quant:  # per-column dequant scale rows follow the weights
+        sqkv, so, scq, sco, sf1g, sf2 = rest[:6]
+        rest = rest[6:]
+    else:
+        sqkv = so = scq = sco = sf1g = sf2 = None
+    kx, vx, kc_in, vc_in, kc_ref, vc_ref, out_ref = rest
     del kc_in, vc_in  # aliased to kc_ref/vc_ref
     x2 = _prologue(pos_ref, x_ref, cos_ref, sin_ref, wqkv, bqkv, wo, bo,
                    cwq, cbq, cwo, cbo, nscale, nbias, kx, vx, kc_ref,
-                   vc_ref, n_heads, rope)
-    h = _swiglu(x2.astype(x_ref.dtype), fw1g[:], fb1g[:], fw2[:], fb2[:])
+                   vc_ref, n_heads, rope, sqkv, so, scq, sco)
+    h = _swiglu(x2.astype(x_ref.dtype), fw1g[:], fb1g[:], fw2[:], fb2[:],
+                None if sf1g is None else sf1g[:],
+                None if sf2 is None else sf2[:])
     x3 = _layer_norm(x2 + h, nscale[2:3, :], nbias[2:3, :])
     out_ref[:] = x3.astype(out_ref.dtype)
 
@@ -198,9 +233,14 @@ def _deep_kernel(pos_ref, x_ref, cos_ref, sin_ref,
                  gate_w, gate_b,
                  sw1g, sb1g, sw2, sb2,
                  ew1g_hbm, ew2_hbm, eb1g, eb2,
-                 kx, vx, kc_in, vc_in,
-                 kc_ref, vc_ref, out_ref,
-                 *scratch, n_heads, rope, k_top):
+                 *rest, n_heads, rope, k_top, quant=False):
+    if quant:  # per-column dequant scales (expert scales (E, .) in VMEM)
+        sqkv, so, scq, sco, ssw1g, ssw2, es1g, es2 = rest[:8]
+        rest = rest[8:]
+    else:
+        sqkv = so = scq = sco = ssw1g = ssw2 = es1g = es2 = None
+    kx, vx, kc_in, vc_in, kc_ref, vc_ref, out_ref = rest[:7]
+    scratch = rest[7:]
     del kc_in, vc_in  # aliased to kc_ref/vc_ref
     sems = scratch[-1]
     w1g_scr = scratch[0:2 * k_top:2]
@@ -208,7 +248,7 @@ def _deep_kernel(pos_ref, x_ref, cos_ref, sin_ref,
 
     x2 = _prologue(pos_ref, x_ref, cos_ref, sin_ref, wqkv, bqkv, wo, bo,
                    cwq, cbq, cwo, cbo, nscale, nbias, kx, vx, kc_ref,
-                   vc_ref, n_heads, rope)
+                   vc_ref, n_heads, rope, sqkv, so, scq, sco)
     x2b = x2.astype(x_ref.dtype)
 
     # -- MoE: eval-mode top-k over raw gate logits (ops/moe.py gathered
@@ -238,7 +278,9 @@ def _deep_kernel(pos_ref, x_ref, cos_ref, sin_ref,
     for d in dmas:
         d.start()
 
-    h = _swiglu(x2b, sw1g[:], sb1g[:], sw2[:], sb2[:]) / float(k_top)
+    h = _swiglu(x2b, sw1g[:], sb1g[:], sw2[:], sb2[:],
+                None if ssw1g is None else ssw1g[:],
+                None if ssw2 is None else ssw2[:]) / float(k_top)
 
     for d in dmas:
         d.wait()
@@ -253,7 +295,14 @@ def _deep_kernel(pos_ref, x_ref, cos_ref, sin_ref,
                         preferred_element_type=jnp.float32)
         b2_j = jnp.dot(onehot, eb2[:].astype(jnp.float32),
                        preferred_element_type=jnp.float32)
-        yj = _swiglu(x2b, w1g_scr[j][:], b1g_j, w2_scr[j][:], b2_j)
+        s1g_j = s2_j = None
+        if quant:  # this expert's dequant scale rows, same one-hot trick
+            s1g_j = jnp.dot(onehot, es1g[:].astype(jnp.float32),
+                            preferred_element_type=jnp.float32)
+            s2_j = jnp.dot(onehot, es2[:].astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
+        yj = _swiglu(x2b, w1g_scr[j][:], b1g_j, w2_scr[j][:], b2_j,
+                     s1g_j, s2_j)
         h = h + (exps[j] / denom) * yj
 
     x3 = _layer_norm(x2 + h, nscale[2:3, :], nbias[2:3, :])
@@ -285,6 +334,7 @@ def decode_layer_step(x, pos, layer: Dict[str, Any], k_cache, v_cache,
     cos, sin = rope_tables_interleaved(S, hd, n_heads)
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
     deep = "gate_w" in layer
+    quant = "wqkv_s" in layer
 
     common = [x, jnp.asarray(cos), jnp.asarray(sin),
               layer["wqkv"], layer["bqkv"], layer["wo"], layer["bo"],
@@ -297,6 +347,11 @@ def decode_layer_step(x, pos, layer: Dict[str, Any], k_cache, v_cache,
         ffn_specs = ([_vmem()] * 6
                      + [pl.BlockSpec(memory_space=pl.ANY)] * 2
                      + [_vmem()] * 2)
+        if quant:
+            ffn += [layer["wqkv_s"], layer["wo_s"], layer["cwq_s"],
+                    layer["cwo_s"], layer["sw1g_s"], layer["sw2_s"],
+                    layer["ew1g_s"], layer["ew2_s"]]
+            ffn_specs += [_vmem()] * 8
         F = layer["ew2"].shape[1]
         scratch = []
         for _ in range(k_top):
@@ -304,13 +359,17 @@ def decode_layer_step(x, pos, layer: Dict[str, Any], k_cache, v_cache,
             scratch.append(pltpu.VMEM((F, D), layer["ew2"].dtype))
         scratch.append(pltpu.SemaphoreType.DMA((2 * k_top,)))
         kernel = functools.partial(_deep_kernel, n_heads=n_heads, rope=rope,
-                                   k_top=k_top)
+                                   k_top=k_top, quant=quant)
     else:
         ffn = [layer["fw1g"], layer["fb1g"], layer["fw2"], layer["fb2"]]
         ffn_specs = [_vmem()] * 4
+        if quant:
+            ffn += [layer["wqkv_s"], layer["wo_s"], layer["cwq_s"],
+                    layer["cwo_s"], layer["fw1g_s"], layer["fw2_s"]]
+            ffn_specs += [_vmem()] * 6
         scratch = []
         kernel = functools.partial(_shallow_kernel, n_heads=n_heads,
-                                   rope=rope)
+                                   rope=rope, quant=quant)
 
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.SMEM)]   # pos
@@ -342,11 +401,87 @@ def _row(b):
     return b.reshape(1, -1)
 
 
-def pack_decoder_layers(params: Dict[str, Any], cfg) -> list:
+def quantize_weight(w, axis: int = -2):
+    """Symmetric per-output-channel int8 quantization: reduce |w| over the
+    input (contraction) axis, scale so the max maps to 127. Returns
+    (int8 weights, f32 scales with the reduced axis dropped) — e.g.
+    (D, N) -> ((D, N) int8, (1, N) f32); (E, D, F) -> (.., (E, F))."""
+    s = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=axis) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.round(w.astype(jnp.float32)
+                  / jnp.expand_dims(s, axis)).astype(jnp.int8)
+    if w.ndim == 2:
+        s = s.reshape(1, -1)
+    return q, s
+
+
+def _quantize_packed(packed: Dict[str, Any], keys) -> None:
+    for key in keys:
+        q, s = quantize_weight(packed[key])
+        packed[key] = q
+        packed[key + "_s"] = s
+
+
+def dequantize(q, s, axis: int = -2):
+    """Inverse of quantize_weight (for the fake-quant XLA oracle)."""
+    if q.ndim == 2:
+        s = s.reshape(s.shape[-1])
+    return q.astype(jnp.float32) * jnp.expand_dims(s, axis)
+
+
+def fake_quantize_decoder_params(params: Dict[str, Any], cfg):
+    """Round-trip every decoder weight the fused int8 kernels quantize
+    through int8 (dequantize(quantize(w))), leaving everything else —
+    biases, norms, the MoE gate, cross K/V projections (used only during
+    fp priming), embeddings, heads — untouched. The unfused XLA decode
+    path with these params is the numerical oracle for the fused int8
+    path: per-column scales commute with the matmul, so both compute the
+    same math up to fp reassociation."""
+    def rt(w):
+        dt = w.dtype
+        return dequantize(*quantize_weight(w)).astype(dt)
+
+    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+    out = dict(params)
+    for i, spec in enumerate(cfg.decoder_layers):
+        p = dict(out[f"dec_{i}"])
+        sa = {k: dict(v) for k, v in p["self_attn"].items()}
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            sa[proj]["kernel"] = rt(sa[proj]["kernel"])
+        p["self_attn"] = sa
+        ca = {k: (dict(v) if isinstance(v, dict) else v)
+              for k, v in p["cross_attn"].items()}
+        for proj in ("q_proj", "out_proj"):
+            ca[proj]["kernel"] = rt(ca[proj]["kernel"])
+        p["cross_attn"] = ca
+        f = {k: (dict(v) if isinstance(v, dict) else v)
+             for k, v in p["ffn"].items()}
+        if spec.ffn == "swiglu":
+            for lin in ("linear1", "gate", "linear2"):
+                f[lin]["kernel"] = rt(f[lin]["kernel"])
+        else:
+            for grp in ("experts", "shared_expert"):
+                f[grp] = dict(f[grp])
+                for wname in ("w1", "wg", "w2"):
+                    f[grp][wname] = rt(f[grp][wname])
+        p["ffn"] = f
+        out[f"dec_{i}"] = p
+    return out
+
+
+def pack_decoder_layers(params: Dict[str, Any], cfg,
+                        quantize: str = None) -> list:
     """Per-layer packed weight dicts from a VideoMusicTransformer param
     tree. Pure jnp concatenations — XLA hoists them out of the decode scan
     as loop invariants, so packing costs one pass per generate call.
-    Biases are kept 2D (1, N) for TPU-friendly layouts."""
+    Biases are kept 2D (1, N) for TPU-friendly layouts.
+
+    quantize="int8" stores every large matmul weight as int8 plus a
+    per-output-channel f32 scale row under ``<key>_s`` (see module
+    docstring); quantizing the column-concatenated packs equals quantizing
+    each source weight separately, since scales are per-column."""
+    if quantize not in (None, "int8"):
+        raise ValueError(f"unknown quantize mode {quantize!r}")
     layers = []
     for i, spec in enumerate(cfg.decoder_layers):
         p = params[f"dec_{i}"]
@@ -393,6 +528,12 @@ def pack_decoder_layers(params: Dict[str, Any], cfg) -> list:
             packed["sb1g"] = _row(jnp.concatenate([s["b1"][0], s["bg"][0]]))
             packed["sw2"] = s["w2"][0]
             packed["sb2"] = _row(s["b2"][0])
+        if quantize == "int8":
+            _quantize_packed(
+                packed,
+                ["wqkv", "wo", "cwq", "cwo"]
+                + (["sw1g", "sw2", "ew1g", "ew2"] if spec.ffn == "moe"
+                   else ["fw1g", "fw2"]))
         layers.append(packed)
     return layers
 

@@ -219,7 +219,8 @@ class Video2music:
                  correct_panning: bool = False,
                  sound_font: Optional[str] = None,
                  caption_overlays=None,
-                 compute_dtype: str = "bfloat16") -> GenerateResult:
+                 compute_dtype: str = "bfloat16",
+                 quantize: Optional[str] = None) -> GenerateResult:
         os.makedirs(output_dir, exist_ok=True)
         if features is None:
             if video is None:
@@ -258,7 +259,7 @@ class Video2music:
                 if x.dtype == jnp.float32 else x, t)
             variables, reg_variables = cast(variables), cast(reg_variables)
             feat_dt = jnp.bfloat16  # f32 inputs would promote kernels back
-        out = self._jitted_generate(gcfg, P)(
+        out = self._jitted_generate(gcfg, P, quantize)(
             variables, reg_variables,
             dict(semantic=jnp.asarray(semantic, feat_dt)[None],
                  key=jnp.asarray([[key_feature]], feat_dt),
@@ -360,20 +361,24 @@ class Video2music:
             instruments=inst_bin, key=key)
 
     # ------------------------------------------------------------------
-    def _jitted_generate(self, gcfg, num_primer):
-        """Compiled decode+regression program, cached per (gcfg, P)."""
+    def _jitted_generate(self, gcfg, num_primer, quantize=None):
+        """Compiled decode+regression program, cached per (gcfg, P, quant).
+
+        quantize="int8": weight-only int8 decode (decode/sampler.py) — the
+        fused kernels read int8 weights, halving the HBM traffic that
+        bounds the per-token step."""
         cache = getattr(self, "_gen_cache", None)
         if cache is None:
             cache = self._gen_cache = {}
-        key = (gcfg, num_primer)
+        key = (gcfg, num_primer, quantize)
         if key not in cache:
             cache[key] = jax.jit(
                 lambda v, rv, feats, rng: self._generate_jit(
-                    v, rv, feats, rng, gcfg, num_primer))
+                    v, rv, feats, rng, gcfg, num_primer, quantize))
         return cache[key]
 
     def _generate_jit(self, variables, reg_variables, feats, rng, gcfg,
-                      num_primer):
+                      num_primer, quantize=None):
         """One traced program: chord decode + regression forward."""
         out = generate_chords(
             self.model, variables, semantic=feats["semantic"],
@@ -381,7 +386,7 @@ class Video2music:
             motion=feats["motion"], emotion=feats["emotion"],
             primer=feats["primer"], primer_root=feats["primer_root"],
             primer_attr=feats["primer_attr"], num_primer=num_primer,
-            rng=rng, gcfg=gcfg)
+            rng=rng, gcfg=gcfg, quantize=quantize)
         (ln_nd, inst), _ = self.model_reg.apply(
             reg_variables, feats["semantic"], feats["scene_offset"],
             feats["motion"], feats["emotion"], deterministic=True,
