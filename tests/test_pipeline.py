@@ -65,6 +65,33 @@ def tiny_pipeline():
         reg_overrides=dict(n_layers=1, d_model=8, d_hidden=16))
 
 
+def test_generate_batch_matches_seeded_shapes(tiny_pipeline, tmp_path, rng):
+    """generate_batch decodes B clips in one program: per-request primers
+    of different lengths are honored, every clip gets its own output dir,
+    and the primer tokens survive into the rendered chords."""
+    def feats(n_sec, seed):
+        r = np.random.default_rng(seed)
+        return {
+            "semantic": r.standard_normal((n_sec, 768)).astype(np.float32),
+            "emotion": r.uniform(size=(n_sec, 6)).astype(np.float32),
+            "scene_offset": np.arange(n_sec, dtype=np.float32),
+            "motion": r.standard_normal((n_sec,)).astype(np.float32),
+        }
+    requests = [
+        dict(features=feats(20, 0), primer="C Am", key="C major"),
+        dict(features=feats(24, 1), primer="Dm G F", key="A minor"),
+    ]
+    results = tiny_pipeline.generate_batch(requests,
+                                           output_dir=str(tmp_path))
+    assert len(results) == 2
+    assert len(results[0].chords) == 20 and len(results[1].chords) == 24
+    assert results[0].chords[:2] == ["C", "A:min"]
+    assert results[1].chords[:3] == ["D:min", "G", "F"]
+    assert results[0].midi_path != results[1].midi_path
+    for res in results:
+        assert os.path.isfile(res.midi_path)
+
+
 def test_generate_end_to_end(tiny_pipeline, tmp_path, rng):
     n_sec = 24
     feats = {

@@ -80,7 +80,10 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
       key: (B,) or (B, 1) float key conditioning.
       primer*: (B, P) primer token ids (P <= target length); positions
         beyond ``num_primer`` are ignored.
-      num_primer: int or scalar array — number of primer tokens (>= 1).
+      num_primer: number of primer tokens (>= 1) — an int/scalar array for
+        a uniform batch, or a (B,)/(B, 1) array for per-element primer
+        lengths (batched serving: clips with different primers share one
+        compiled decode program).
       rng: jax PRNG key.
       fused: "auto" (fused Pallas decode-layer kernels on TPU when the
         config is eligible), "on" (force, e.g. with interpret=True on CPU)
@@ -106,20 +109,23 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
     attr_tab = jnp.asarray(attr_tab)
     T = gcfg.target_seq_length
     B = semantic.shape[0]
-    num_primer = jnp.asarray(num_primer, jnp.int32)
+    # normalize to (B, 1) so scalar and per-element primer lengths share
+    # one code path (broadcasts over positions)
+    num_primer = jnp.broadcast_to(
+        jnp.asarray(num_primer, jnp.int32).reshape(-1, 1), (B, 1))
 
     gen_seq = jnp.full((B, T), C.CHORD_PAD, jnp.int32)
     gen_root = jnp.full((B, T), C.CHORD_ROOT_PAD, jnp.int32)
     gen_attr = jnp.full((B, T), C.CHORD_ATTR_PAD, jnp.int32)
     P = primer.shape[1]
-    in_primer = jnp.arange(T) < num_primer
+    in_primer = jnp.arange(T)[None, :] < num_primer  # (B, T)
     gen_seq = gen_seq.at[:, :P].set(
-        jnp.where(in_primer[:P], primer.astype(jnp.int32), C.CHORD_PAD))
+        jnp.where(in_primer[:, :P], primer.astype(jnp.int32), C.CHORD_PAD))
     gen_root = gen_root.at[:, :P].set(
-        jnp.where(in_primer[:P], primer_root.astype(jnp.int32),
+        jnp.where(in_primer[:, :P], primer_root.astype(jnp.int32),
                   C.CHORD_ROOT_PAD))
     gen_attr = gen_attr.at[:, :P].set(
-        jnp.where(in_primer[:P], primer_attr.astype(jnp.int32),
+        jnp.where(in_primer[:, :P], primer_attr.astype(jnp.int32),
                   C.CHORD_ATTR_PAD))
 
     # 1) encoder runs once (MoE layers write load metrics -> mutable)
@@ -175,7 +181,7 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
         rng, sub = jax.random.split(rng)
         nxt = _sample_next(sub, logits, gen_seq, pos, gcfg).astype(jnp.int32)
         # keep primer tokens where pos+1 is still inside the primer
-        keep = pos + 1 < num_primer
+        keep = pos + 1 < num_primer[:, 0]  # (B,)
         cur = jax.lax.dynamic_slice_in_dim(gen_seq, pos + 1, 1, axis=1)[:, 0]
         cur_r = jax.lax.dynamic_slice_in_dim(gen_root, pos + 1, 1, axis=1)[:, 0]
         cur_a = jax.lax.dynamic_slice_in_dim(gen_attr, pos + 1, 1, axis=1)[:, 0]
