@@ -50,6 +50,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-music_only", action="store_true",
                    help="train the no-video MusicTransformer baseline "
                         "(reference IS_VIDEO=False)")
+    p.add_argument("-moe_dispatch", default="dense",
+                   choices=["dense", "capacity"],
+                   help="MoE expert dispatch for batched calls: 'dense' "
+                        "(exact, default) or 'capacity' (sparse per-expert "
+                        "buffers; wins at large d_ff — see ops/moe.py)")
+    p.add_argument("-moe_capacity_factor", type=float, default=1.25)
     return p
 
 
@@ -83,6 +89,11 @@ def main(argv=None):
         num_heads=args.num_heads, d_model=args.d_model,
         d_ff=args.dim_feedforward, dropout=args.dropout,
         total_vf_dim=total_vf_dim(train_ds[0], args.motion_type))
+    if args.moe_dispatch != "dense":
+        import dataclasses
+        cfg = dataclasses.replace(cfg, moe=dataclasses.replace(
+            cfg.moe, dispatch=args.moe_dispatch,
+            capacity_factor=args.moe_capacity_factor))
     model = VideoMusicTransformer(cfg=cfg)
     train_amt(model, tcfg, loop, train_ds, val_ds, drop_loss=args.drop_loss)
 
