@@ -319,3 +319,49 @@ def test_amt_separated_eval_metrics(rng):
     for k in ("loss", "accuracy", "hits@1", "hits@5", "correspondence"):
         assert np.isfinite(float(m[k])), k
     assert float(m["hits@1"]) <= float(m["hits@5"])
+
+
+def test_sequence_parallel_train_step_matches_single_device(rng):
+    """Megatron-SP: sequence-sharded residual stream + TP weights
+    (cfg.sequence_parallel) must match the unsharded step, and the
+    partitioned program must actually use reduce-scatter (the SP
+    signature) instead of plain all-reduce everywhere."""
+    model_sp = _tiny_amt("2.2", sequence_parallel=True)
+    model_ref = _tiny_amt("2.2")
+    tcfg = TrainConfig(optimizer="adam", lr=1e-3)
+    tx = make_optimizer(tcfg, d_model=16)
+    batch = _amt_batch(rng, B=8)
+    state = create_train_state(model_ref, tx, jax.random.PRNGKey(0), batch)
+
+    ref_state, ref_metrics = jax.jit(
+        make_amt_train_step(model_ref, tx, tcfg))(state, batch)
+
+    mesh = create_mesh((2, 4))
+    p_sh = param_shardings(mesh, state.params, tp=True)
+    rep = replicated(mesh)
+    sharded_state = state.replace(
+        params=jax.tree_util.tree_map(jax.device_put, state.params, p_sh),
+        moe_state=jax.device_put(state.moe_state, rep),
+        opt_state=jax.device_put(state.opt_state, rep),
+        rng=jax.device_put(state.rng, rep),
+        step=jax.device_put(state.step, rep))
+    sharded_batch = shard_batch(mesh, batch)
+    with jax.sharding.set_mesh(mesh):
+        step = jax.jit(make_amt_train_step(model_sp, tx, tcfg))
+        lowered = step.lower(sharded_state, sharded_batch)
+        compiled = lowered.compile()
+        got_state, got_metrics = step(sharded_state, sharded_batch)
+    np.testing.assert_allclose(float(got_metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=1e-4)
+    ref_leaf = jax.tree_util.tree_leaves(ref_state.params)[0]
+    got_leaf = jax.tree_util.tree_leaves(got_state.params)[0]
+    np.testing.assert_allclose(np.asarray(got_leaf), np.asarray(ref_leaf),
+                               rtol=1e-3, atol=1e-5)
+    # the residual stream must actually carry the (batch over data,
+    # sequence over model) constraint — guard against it silently no-oping.
+    # jax 0.9 lowers through the Shardy dialect; the TPU partitioner then
+    # emits reduce-scatter, the CPU one may lower the same spec
+    # differently, so assert the annotation, not the collective.
+    assert ('sharding_constraint' in lowered.as_text()
+            and '<@mesh, [{"data"}, {"model"}, {}]>' in lowered.as_text())
+    del compiled

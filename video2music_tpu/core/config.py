@@ -124,6 +124,15 @@ class AMTConfig:
     # memory cut at B=16 full size). Dropout masks regenerate exactly
     # (deterministic given the rng), so gradients are unchanged.
     remat_attention: bool = False
+    # Megatron-style sequence parallelism (no reference counterpart —
+    # SURVEY §2.5): when True, encoder/decoder layers constrain the
+    # residual stream to (batch over "data", sequence over "model"), so
+    # under tensor-parallel weight shardings XLA replaces each TP
+    # all-reduce with a reduce-scatter + all-gather pair and the LN /
+    # dropout / residual regions compute on sequence shards. Requires
+    # tracing under ``jax.sharding.set_mesh(mesh)``; math is unchanged
+    # (GSPMD) — tested against the unsharded step.
+    sequence_parallel: bool = False
     moe: MoEConfig = MoEConfig()
     encoder_layers: Tuple[LayerSpec, ...] = ()
     decoder_layers: Tuple[LayerSpec, ...] = ()

@@ -158,16 +158,45 @@ class VideoMusicTransformer(nn.Module):
                  motion, emotion, deterministic: bool = True):
         memory = self.encode(semantic, scene_offset, motion, emotion,
                              deterministic=deterministic)
+        out = self.embed_decoder_input(x, x_root, x_attr, key,
+                                       deterministic=deterministic)
+        emotion_ids = _dominant_emotion_ids(emotion)
+        for layer in self.decoder_stack:
+            out = layer(out, memory, deterministic=deterministic,
+                        emotion_ids=emotion_ids)
+        return self.head(out)
+
+    # ------------------------------------------------------------------
+    # decomposed pieces (shared by the full forward, the KV-cached decode
+    # path, and the pipeline-parallel train step which runs the layer
+    # stacks through parallel/pipeline.py instead of the loops above)
+    # ------------------------------------------------------------------
+    def embed_video_input(self, semantic, scene_offset, motion, emotion,
+                          deterministic: bool = True):
+        """Video features -> positioned encoder input (B, L, d_model)."""
+        vf = self._embed_video(semantic, scene_offset, motion, emotion,
+                               deterministic=deterministic)
+        if self.cfg.pos_encoding == "sinusoidal":
+            vf = self.pe_video(vf, deterministic=deterministic)
+        elif self.cfg.pos_encoding == "learned":
+            vf = self.pe_video(vf)
+        return vf
+
+    def finalize_encoder(self, vf):
+        return self.encoder_norm(vf)
+
+    def embed_decoder_input(self, x, x_root, x_attr, key,
+                            deterministic: bool = True):
+        """Chord tokens + key -> positioned decoder input (B, L, d_model)."""
         xf = self._embed_chords(x, x_root, x_attr, key)
         if self.cfg.pos_encoding == "sinusoidal":
             xf = self.pe_chord(xf, deterministic=deterministic)
         elif self.cfg.pos_encoding == "learned":
             xf = self.pe_chord(xf)
-        out = xf
-        emotion_ids = _dominant_emotion_ids(emotion)
-        for layer in self.decoder_stack:
-            out = layer(out, memory, deterministic=deterministic,
-                        emotion_ids=emotion_ids)
+        return xf
+
+    def head(self, out):
+        """Decoder output -> chord logits (reference :1040-1044)."""
         out = self.decoder_norm(out)
         if self.cfg.separated:
             return self.w_out_root(out), self.w_out_attr(out)
@@ -178,17 +207,13 @@ class VideoMusicTransformer(nn.Module):
     # ------------------------------------------------------------------
     def encode(self, semantic, scene_offset, motion, emotion,
                deterministic: bool = True):
-        vf = self._embed_video(semantic, scene_offset, motion, emotion,
-                               deterministic=deterministic)
-        if self.cfg.pos_encoding == "sinusoidal":
-            vf = self.pe_video(vf, deterministic=deterministic)
-        elif self.cfg.pos_encoding == "learned":
-            vf = self.pe_video(vf)
+        vf = self.embed_video_input(semantic, scene_offset, motion, emotion,
+                                    deterministic=deterministic)
         emotion_ids = _dominant_emotion_ids(emotion)
         for layer in self.encoder_stack:
             vf = layer(vf, deterministic=deterministic,
                        emotion_ids=emotion_ids)
-        return self.encoder_norm(vf)
+        return self.finalize_encoder(vf)
 
     def prime(self, memory):
         """Fill every decoder layer's cross-attention K/V cache."""

@@ -18,12 +18,32 @@ from __future__ import annotations
 from typing import Optional
 
 from flax import linen as nn
+import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from ..core.config import AMTConfig, LayerSpec
 from ..ops.attention import MultiHeadAttention
 from ..ops.moe import MoELayer
 from ..ops.norms import make_norm
+
+
+def _seq_shard(x, cfg: AMTConfig):
+    """Megatron sequence parallelism: pin the residual stream to
+    (batch over "data", sequence over "model"). Under TP weight shardings
+    GSPMD then turns each layer's closing all-reduce into a
+    reduce-scatter and all-gathers only at the matmul entrances, while
+    LN/dropout/residual math runs on sequence shards. No-op unless
+    ``cfg.sequence_parallel`` (and requires a ``jax.sharding.set_mesh``
+    context at trace time)."""
+    if not cfg.sequence_parallel:
+        return x
+    if jax.sharding.get_abstract_mesh().empty:
+        # no mesh context (e.g. model.init outside set_mesh) — the
+        # constraint would be meaningless anyway, skip it
+        return x
+    from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+    return jax.lax.with_sharding_constraint(x, P(DATA_AXIS, MODEL_AXIS, None))
 
 
 class ReluFFN(nn.Module):
@@ -91,18 +111,19 @@ class EncoderLayer(nn.Module):
 
     def __call__(self, x, deterministic=True, emotion_ids=None):
         d = deterministic
+        sp = lambda h: _seq_shard(h, self.cfg)
         ffn = lambda h: (self.ffn(h, deterministic=d,
                                   emotion_ids=emotion_ids)
                          if isinstance(self.ffn, MoELayer)
                          else self.ffn(h, deterministic=d))
         if not self.cfg.pre_norm:
-            x = self.norm1(x + self._drop(
-                self.self_attn(x, deterministic=d), d))
-            x = self.norm2(x + self._drop(ffn(x), d))
+            x = sp(self.norm1(x + self._drop(
+                self.self_attn(x, deterministic=d), d)))
+            x = sp(self.norm2(x + self._drop(ffn(x), d)))
         else:
-            x = x + self._drop(
-                self.self_attn(self.norm1(x), deterministic=d), d)
-            x = x + self._drop(ffn(self.norm2(x)), d)
+            x = sp(x + self._drop(
+                self.self_attn(self.norm1(x), deterministic=d), d))
+            x = sp(x + self._drop(ffn(self.norm2(x)), d))
         return x
 
 
@@ -150,12 +171,16 @@ class DecoderLayer(nn.Module):
                                   emotion_ids=emotion_ids)
                          if isinstance(self.ffn, MoELayer)
                          else self.ffn(h, deterministic=d))
+        # sequence-parallel constraints only make sense on (B, L, D)
+        # streams — cached single-token decode steps skip them
+        sp = (lambda h: _seq_shard(h, self.cfg)) if mode == "full" \
+            else (lambda h: h)
         if not self.cfg.pre_norm:
-            x = self.norm1(x + self._drop(sa(x), d))
-            x = self.norm2(x + self._drop(ca(x), d))
-            x = self.norm3(x + self._drop(ffn(x), d))
+            x = sp(self.norm1(x + self._drop(sa(x), d)))
+            x = sp(self.norm2(x + self._drop(ca(x), d)))
+            x = sp(self.norm3(x + self._drop(ffn(x), d)))
         else:
-            x = x + self._drop(sa(self.norm1(x)), d)
-            x = x + self._drop(ca(self.norm2(x)), d)
-            x = x + self._drop(ffn(self.norm3(x)), d)
+            x = sp(x + self._drop(sa(self.norm1(x)), d))
+            x = sp(x + self._drop(ca(self.norm2(x)), d))
+            x = sp(x + self._drop(ffn(self.norm3(x)), d))
         return x
