@@ -186,3 +186,35 @@ def test_auto_resume_from_latest_snapshot(datasets, tmp_path):
     assert len(rows) == 5  # header + 2 + 2 epochs
     # the restored step counter carried over: 4 epochs of batches total
     assert int(state.step) > int(state.step) // 2
+
+
+def test_train_amt_cli_parallel_pp(tmp_path):
+    """End-to-end: train CLI on a mesh with GPipe pipeline stages."""
+    from video2music_tpu.cli.train_amt import main
+
+    root = tmp_path / "data"
+    _write_fixture_tree(str(root), ["aaa", "bbb", "ccc", "ddd"])
+    out = tmp_path / "out_pp"
+    main(["-dataset_dir", str(root), "-output_dir", str(out),
+          "-epochs", "1", "-batch_size", "4", "-n_layers", "2",
+          "-d_model", "16", "-dim_feedforward", "32", "-num_heads", "2",
+          "-mesh", "2x2", "-parallel", "pp", "-microbatches", "2"])
+    rows = list(csv.reader(open(out / "results.csv")))
+    assert rows[0] == CSV_HEADER and len(rows) == 2
+    assert np.isfinite(float(rows[1][8]))
+
+
+def test_train_amt_cli_parallel_sp(tmp_path):
+    """End-to-end: train CLI with tp weights + sequence-parallel stream."""
+    from video2music_tpu.cli.train_amt import main
+
+    root = tmp_path / "data"
+    _write_fixture_tree(str(root), ["aaa", "bbb", "ccc", "ddd"])
+    out = tmp_path / "out_sp"
+    main(["-dataset_dir", str(root), "-output_dir", str(out),
+          "-epochs", "1", "-batch_size", "4", "-n_layers", "2",
+          "-d_model", "16", "-dim_feedforward", "32", "-num_heads", "2",
+          "-music_gen_version", "2.2", "-mesh", "4x2", "-parallel", "sp"])
+    rows = list(csv.reader(open(out / "results.csv")))
+    assert rows[0] == CSV_HEADER and len(rows) == 2
+    assert np.isfinite(float(rows[1][8]))

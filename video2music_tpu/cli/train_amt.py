@@ -56,6 +56,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "(exact, default) or 'capacity' (sparse per-expert "
                         "buffers; wins at large d_ff — see ops/moe.py)")
     p.add_argument("-moe_capacity_factor", type=float, default=1.25)
+    p.add_argument("-mesh", default=None, metavar="DATAxMODEL",
+                   help="multi-chip device mesh, e.g. '4x2' (data x model "
+                        "axes over jax.devices()); single device when unset")
+    p.add_argument("-parallel", default="dp",
+                   choices=["dp", "tp", "sp", "pp"],
+                   help="strategy on the mesh: dp (batch; EP expert "
+                        "stacks), tp (+Megatron column/row weights), sp "
+                        "(tp + sequence-parallel residual stream), pp "
+                        "(GPipe pipeline stages, homogeneous stacks only)")
+    p.add_argument("-microbatches", type=int, default=4,
+                   help="pipeline microbatches per step (-parallel pp)")
     return p
 
 
@@ -89,13 +100,22 @@ def main(argv=None):
         num_heads=args.num_heads, d_model=args.d_model,
         d_ff=args.dim_feedforward, dropout=args.dropout,
         total_vf_dim=total_vf_dim(train_ds[0], args.motion_type))
+    import dataclasses
     if args.moe_dispatch != "dense":
-        import dataclasses
         cfg = dataclasses.replace(cfg, moe=dataclasses.replace(
             cfg.moe, dispatch=args.moe_dispatch,
             capacity_factor=args.moe_capacity_factor))
+    mesh = None
+    if args.mesh:
+        from ..parallel import create_mesh
+        data, model_ax = (int(v) for v in args.mesh.lower().split("x"))
+        mesh = create_mesh((data, model_ax))
+        if args.parallel == "sp":
+            cfg = dataclasses.replace(cfg, sequence_parallel=True)
     model = VideoMusicTransformer(cfg=cfg)
-    train_amt(model, tcfg, loop, train_ds, val_ds, drop_loss=args.drop_loss)
+    train_amt(model, tcfg, loop, train_ds, val_ds, drop_loss=args.drop_loss,
+              mesh=mesh, parallel=args.parallel,
+              n_microbatches=args.microbatches)
 
 
 if __name__ == "__main__":

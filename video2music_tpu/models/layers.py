@@ -38,11 +38,18 @@ def _seq_shard(x, cfg: AMTConfig):
     context at trace time)."""
     if not cfg.sequence_parallel:
         return x
-    if jax.sharding.get_abstract_mesh().empty:
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh.empty:
         # no mesh context (e.g. model.init outside set_mesh) — the
         # constraint would be meaningless anyway, skip it
         return x
     from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+    axis = dict(mesh.shape).get(MODEL_AXIS, 1)
+    if x.shape[1] % axis:
+        # sequence not divisible by the model axis (the AMT chord stream
+        # is 299 = max_seq_chord - 1, odd) — stay on plain TP there; the
+        # 300-token video/encoder stream still sequence-shards
+        return x
     return jax.lax.with_sharding_constraint(x, P(DATA_AXIS, MODEL_AXIS, None))
 
 

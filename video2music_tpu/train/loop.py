@@ -13,6 +13,7 @@ step; optional (data, model) mesh sharding via ``parallel.mesh``.
 
 from __future__ import annotations
 
+import contextlib
 import csv
 import os
 import time
@@ -137,11 +138,57 @@ def _eval_pass(eval_fn, state, dataset, batch_size, device_put=None):
     return _mean_metrics(rows)
 
 
+def _place_sharded(state: TrainState, mesh, *, tp: bool) -> TrainState:
+    """Replicate/shard a TrainState for a (data, model) mesh: params per
+    ``param_shardings`` (EP always; Megatron TP when ``tp``), everything
+    else replicated."""
+    from ..parallel import param_shardings, replicated
+
+    p_sh = param_shardings(mesh, state.params, tp=tp)
+    rep = replicated(mesh)
+    return state.replace(
+        params=jax.tree_util.tree_map(jax.device_put, state.params, p_sh),
+        moe_state=jax.device_put(state.moe_state, rep),
+        opt_state=jax.device_put(state.opt_state, rep),
+        rng=jax.device_put(state.rng, rep),
+        step=jax.device_put(state.step, rep))
+
+
 def train_amt(model, tcfg: TrainConfig, loop: LoopConfig, train_ds, val_ds,
-              *, drop_loss: bool = False, device_put=None) -> TrainState:
+              *, drop_loss: bool = False, device_put=None, mesh=None,
+              parallel: str = "dp", n_microbatches: int = 4) -> TrainState:
     """Full AMT training run. Returns the final state; writes
     ``results.csv``, ``best_loss_weights``, ``epoch_NNNN`` under
-    loop.output_dir (reference: train.py:86-103,262-373)."""
+    loop.output_dir (reference: train.py:86-103,262-373).
+
+    Multi-chip: pass a ``parallel.create_mesh`` mesh plus a strategy —
+    "dp" (batch over "data"; EP expert stacks over "model"), "tp"
+    (+ Megatron column/row weight shardings), "sp" (tp + sequence-parallel
+    residual stream; the model cfg must set ``sequence_parallel=True``),
+    or "pp" (GPipe pipeline stages over "model", homogeneous stacks only).
+    The reference is strictly single-device (SURVEY §2.5)."""
+    if mesh is not None:
+        from ..parallel import shard_batch
+
+        if parallel not in ("dp", "tp", "sp", "pp"):
+            raise ValueError(f"unknown parallel strategy {parallel!r}")
+        if parallel == "sp" and not model.cfg.sequence_parallel:
+            raise ValueError(
+                "parallel='sp' needs AMTConfig.sequence_parallel=True")
+        if device_put is None:
+            device_put = lambda b: shard_batch(mesh, b)
+    mesh_ctx = (jax.sharding.set_mesh(mesh)
+                if mesh is not None and parallel == "sp"
+                else contextlib.nullcontext())
+    with mesh_ctx:
+        return _train_amt_body(model, tcfg, loop, train_ds, val_ds,
+                               drop_loss=drop_loss, device_put=device_put,
+                               mesh=mesh, parallel=parallel,
+                               n_microbatches=n_microbatches)
+
+
+def _train_amt_body(model, tcfg, loop, train_ds, val_ds, *, drop_loss,
+                    device_put, mesh, parallel, n_microbatches) -> TrainState:
     os.makedirs(loop.output_dir, exist_ok=True)
     results_file = os.path.join(loop.output_dir, "results.csv")
     weights_dir = os.path.join(loop.output_dir, "weights")
@@ -160,12 +207,23 @@ def train_amt(model, tcfg: TrainConfig, loop: LoopConfig, train_ds, val_ds,
             loop.log_fn(f"auto-resume: epoch {start_epoch} from {snap}")
     if loop.continue_from:
         state = _restore_continue(loop, state, tcfg)
+    if mesh is not None:
+        state = _place_sharded(state, mesh, tp=parallel in ("tp", "sp"))
 
     # donate the train state: params/opt buffers update in place instead
     # of being copied every step (ignored with a warning on CPU)
-    train_step = jax.jit(make_amt_train_step(model, tx, tcfg,
-                                             drop_loss=drop_loss),
-                         donate_argnums=(0,))
+    if mesh is not None and parallel == "pp":
+        from .pp import make_amt_pp_train_step
+
+        train_step = jax.jit(
+            make_amt_pp_train_step(model, tx, tcfg, mesh,
+                                   n_microbatches=n_microbatches,
+                                   drop_loss=drop_loss),
+            donate_argnums=(0,))
+    else:
+        train_step = jax.jit(make_amt_train_step(model, tx, tcfg,
+                                                 drop_loss=drop_loss),
+                             donate_argnums=(0,))
     eval_step = jax.jit(make_amt_eval_step(model, tcfg))
     sched = noam_schedule(model.cfg.d_model, tcfg.warmup_steps)
 
