@@ -1,0 +1,124 @@
+"""Serving tests: dynamic batching coalesces concurrent requests, and the
+HTTP JSON API round-trips (no reference counterpart — the reference serves
+one gradio request at a time, reference: video2music.py:1)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from video2music_tpu.pipeline import Video2music
+from video2music_tpu.pipeline.serving import DynamicBatcher
+
+
+@pytest.fixture(scope="module")
+def tiny_v2m():
+    return Video2music(
+        music_gen_version="2.2", reg_model="bigru", motion_type=0,
+        amt_overrides=dict(n_layers=2, num_heads=2, d_model=16, d_ff=32),
+        reg_overrides=dict(n_layers=1, d_model=8, d_hidden=16))
+
+
+def _feats(n_sec, seed):
+    r = np.random.default_rng(seed)
+    return {
+        "semantic": r.standard_normal((n_sec, 768)).astype(np.float32),
+        "emotion": r.uniform(size=(n_sec, 6)).astype(np.float32),
+        "scene_offset": np.arange(n_sec, dtype=np.float32),
+        "motion": r.standard_normal((n_sec,)).astype(np.float32),
+    }
+
+
+def test_dynamic_batcher_coalesces(tiny_v2m, tmp_path):
+    """Concurrent submits within the wait window run as ONE bucketed
+    program; every caller gets its own result in its own output dir."""
+    batcher = DynamicBatcher(tiny_v2m, max_batch=8, max_wait_ms=500,
+                             output_dir=str(tmp_path))
+    try:
+        futs = [batcher.submit(
+            dict(features=_feats(12 + i, i), primer="C Am", key="C major"))
+            for i in range(3)]
+        out = [f.result(timeout=600) for f in futs]
+        for i, (res, width) in enumerate(out):
+            assert len(res.chords) == 12 + i
+            assert res.chords[:2] == ["C", "A:min"]
+            assert width == 4  # 3 requests padded to the 4-bucket
+        dirs = {o[0].midi_path for o in out}
+        assert len(dirs) == 3
+        assert batcher.stats["batches"] == 1
+        assert batcher.stats["max_batch_size"] == 3
+    finally:
+        batcher.stop()
+
+
+def test_dynamic_batcher_groups_by_temperature(tiny_v2m, tmp_path):
+    batcher = DynamicBatcher(tiny_v2m, max_batch=8, max_wait_ms=500,
+                             output_dir=str(tmp_path))
+    try:
+        f1 = batcher.submit(dict(features=_feats(10, 0), primer="C"),
+                            temperature=1.0)
+        f2 = batcher.submit(dict(features=_feats(10, 1), primer="C"),
+                            temperature=0.5)
+        (r1, w1), (r2, w2) = f1.result(600), f2.result(600)
+        assert len(r1.chords) == 10 and len(r2.chords) == 10
+        assert w1 == 1 and w2 == 1  # split into two width-1 programs
+        assert batcher.stats["batches"] == 2
+    finally:
+        batcher.stop()
+
+
+def test_dynamic_batcher_error_propagates(tiny_v2m, tmp_path):
+    batcher = DynamicBatcher(tiny_v2m, max_batch=4, max_wait_ms=10,
+                             output_dir=str(tmp_path))
+    try:
+        fut = batcher.submit({"features": {"bogus": 1}})
+        with pytest.raises(Exception):
+            fut.result(timeout=120)
+        # the worker survives a failed batch
+        ok = batcher.submit(dict(features=_feats(8, 0), primer="C"))
+        res, _ = ok.result(timeout=600)
+        assert len(res.chords) == 8
+    finally:
+        batcher.stop()
+
+
+def test_http_serve_round_trip(tiny_v2m, tmp_path):
+    from video2music_tpu.cli.serve import ServeApp, make_server
+
+    app = ServeApp(output_dir=str(tmp_path), v2m=tiny_v2m,
+                   max_batch=4, max_wait_ms=20)
+    server = make_server(app, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = json.dumps({
+            "features": {k: v.tolist() for k, v in _feats(9, 3).items()},
+            "primer": "Dm G", "key": "A minor", "temperature": 1.0,
+        }).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            payload = json.loads(resp.read())
+        assert payload["chords"][:2] == ["D:min", "G"]
+        assert len(payload["chords"]) == 9
+        assert payload["batch_width"] >= 1
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as resp:
+            health = json.loads(resp.read())
+        assert health["ok"] and health["stats"]["requests"] >= 1
+        # unknown test_id -> 404, not a 500
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"test_id": "nope"}).encode(),
+            headers={"Content-Type": "application/json"})
+        app._test_ds = type("DS", (), {"ids": []})()
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=30)
+        assert ei.value.code == 404
+    finally:
+        server.shutdown()
+        app.stop()

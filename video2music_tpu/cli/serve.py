@@ -1,0 +1,183 @@
+"""CLI: production serving — HTTP JSON API with dynamic request batching.
+
+    python -m video2music_tpu.cli.serve -dataset_dir ./dataset -port 8080
+
+No reference counterpart (the reference's serving surface is a gradio
+Space calling ``generate()`` one request at a time, reference:
+``video2music.py:1``, ``README.md:14-27``). Concurrent requests coalesce
+into one batched decode program via ``pipeline.serving.DynamicBatcher``
+(rows are nearly free on TPU — see ``pipeline/api.generate_batch``); all
+JAX work stays on the batcher's single worker thread, so the threading
+HTTP server needs no dispatch lock.
+
+API:
+  GET  /healthz   -> {"ok": true, "stats": {...}}
+  POST /generate  JSON body:
+      {"test_id": "<dataset id>" | "features": {"semantic": [[...]], ...},
+       "primer": "C Am F G", "key": "C major", "temperature": 1.0}
+    -> {"chords": [...], "key": ..., "midi_path": ..., "batch_width": B}
+
+Feature extraction from raw video needs CLIP/MaxViT weights and stays an
+offline step (``cli/extract_features.py``), matching the reference's
+dataset pipeline split.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class ServeApp:
+    """Holds the model, dataset, and batcher; handlers delegate here."""
+
+    def __init__(self, dataset_dir: str = "./dataset",
+                 output_dir: str = "./serve_output",
+                 v2m=None, test_ds=None, motion_type: int = 0,
+                 max_batch: int = 16, max_wait_ms: int = 30,
+                 **v2m_kwargs):
+        self.dataset_dir = dataset_dir
+        self.output_dir = output_dir
+        self.motion_type = motion_type
+        self._v2m = v2m
+        self._test_ds = test_ds
+        self._v2m_kwargs = v2m_kwargs
+        self._batcher = None
+        self._max_batch = max_batch
+        self._max_wait_ms = max_wait_ms
+
+    @property
+    def test_ds(self):
+        if self._test_ds is None:
+            from ..data import create_vevo_datasets
+            _, _, self._test_ds = create_vevo_datasets(
+                dataset_root=self.dataset_dir, motion_type=self.motion_type)
+        return self._test_ds
+
+    @property
+    def batcher(self):
+        if self._batcher is None:
+            from ..pipeline.serving import DynamicBatcher
+            if self._v2m is None:
+                from ..pipeline.api import Video2music
+                self._v2m = Video2music(motion_type=self.motion_type,
+                                        **self._v2m_kwargs)
+            self._batcher = DynamicBatcher(
+                self._v2m, max_batch=self._max_batch,
+                max_wait_ms=self._max_wait_ms, output_dir=self.output_dir)
+        return self._batcher
+
+    def stop(self):
+        if self._batcher is not None:
+            self._batcher.stop()
+
+    # ------------------------------------------------------------------
+    def _features_for(self, body: Dict) -> Dict[str, np.ndarray]:
+        if "features" in body:
+            f = body["features"]
+            return {k: np.asarray(f[k], np.float32)
+                    for k in ("semantic", "emotion", "scene_offset",
+                              "motion")}
+        test_id = body.get("test_id")
+        ids = self.test_ds.ids
+        if test_id not in ids:
+            raise KeyError(f"unknown test_id {test_id!r}; have {ids[:5]}...")
+        sample = self.test_ds[ids.index(test_id)]
+        return {k: sample[k] for k in
+                ("semantic", "emotion", "scene_offset", "motion")}
+
+    def handle_generate(self, body: Dict) -> Dict:
+        request = dict(
+            features=self._features_for(body),
+            primer=body.get("primer", ""),
+            key=body.get("key"),
+            transposition_value=int(body.get("transposition_value", 0)))
+        result, width = self.batcher.generate(
+            request, temperature=float(body.get("temperature", 1.0)))
+        return {
+            "chords": result.chords,
+            "key": result.key,
+            "midi_path": result.midi_path,
+            "audio_path": result.audio_path,
+            "video_path": result.video_path,
+            "batch_width": width,
+        }
+
+
+def make_server(app: ServeApp, host: str = "127.0.0.1", port: int = 0):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, payload: Dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                stats = (app.batcher.stats if app._batcher is not None
+                         else {})
+                self._json(200, {"ok": True, "stats": stats})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                self._json(200, app.handle_generate(body))
+            except KeyError as exc:
+                self._json(404, {"error": str(exc)})
+            except Exception as exc:  # noqa: BLE001 — serving boundary
+                self._json(500, {"error": f"{type(exc).__name__}: {exc}"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Video2music serving API")
+    p.add_argument("-dataset_dir", default="./dataset")
+    p.add_argument("-output_dir", default="./serve_output")
+    p.add_argument("-host", default="127.0.0.1")
+    p.add_argument("-port", type=int, default=8080)
+    p.add_argument("-motion_type", type=int, default=0)
+    p.add_argument("-music_gen_version", default="2.2")
+    p.add_argument("-regModel", default="bimamba+")
+    p.add_argument("-amt_checkpoint", default=None)
+    p.add_argument("-reg_checkpoint", default=None)
+    p.add_argument("-max_batch", type=int, default=16)
+    p.add_argument("-max_wait_ms", type=int, default=30)
+    args = p.parse_args(argv)
+    app = ServeApp(
+        dataset_dir=args.dataset_dir, output_dir=args.output_dir,
+        motion_type=args.motion_type, max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms,
+        music_gen_version=args.music_gen_version, reg_model=args.regModel,
+        amt_checkpoint=args.amt_checkpoint,
+        reg_checkpoint=args.reg_checkpoint)
+    server = make_server(app, args.host, args.port)
+    print(f"serving on http://{args.host}:{server.server_address[1]} "
+          f"(max_batch={args.max_batch}, max_wait={args.max_wait_ms}ms)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        app.stop()
+
+
+if __name__ == "__main__":
+    main()
