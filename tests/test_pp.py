@@ -135,13 +135,75 @@ def test_amt_pp_step_trains(rng):
     assert float(m["loss"]) < float(m0["loss"])
 
 
-def test_pp_rejects_heterogeneous_and_moe():
-    mesh = create_mesh((2, 4))
+def test_pp_rejects_indivisible_segments_and_differential():
     tcfg = TrainConfig(optimizer="adamw", lr=1e-3)
     tx = make_optimizer(tcfg, d_model=16)
-    # V2 = shallow/deep split -> not homogeneous
+    # V2 6 layers = 3 shallow + 3 deep segments: 3 % 2 stages != 0
     model = VideoMusicTransformer(cfg=amt_config(
-        "2.2", n_layers=4, num_heads=2, d_model=16, d_ff=32,
+        "2.2", n_layers=6, num_heads=2, d_model=16, d_ff=32,
         max_seq_video=12, max_seq_chord=12, total_vf_dim=11, dropout=0.0))
-    with pytest.raises(ValueError):
-        make_amt_pp_train_step(model, tx, tcfg, mesh)
+    with pytest.raises(ValueError, match="divisible"):
+        make_amt_pp_train_step(model, tx, tcfg, create_mesh((2, 4)))
+    # V3 differential attention is depth-dependent
+    model3 = VideoMusicTransformer(cfg=amt_config(
+        "3.1", n_layers=4, num_heads=2, d_model=16, d_ff=32,
+        max_seq_video=12, max_seq_chord=12, total_vf_dim=11, dropout=0.0))
+    with pytest.raises(ValueError, match="differential"):
+        make_amt_pp_train_step(model3, tx, tcfg, create_mesh((2, 4)))
+
+
+def test_amt_pp_step_v2_flagship_matches_microbatched_oracle(rng):
+    """The V2 flagship (3 SwiGLU + 3 SharedMoE segments, balancing bias)
+    pipelines on a 3-stage model axis. MoE state steps once per microbatch
+    (stage-local, the reference's per-forward-call semantics), so the
+    oracle is M sequential small-batch forwards threading moe_state — pp
+    must match its loss, gradients, and updated balancing bias."""
+    import jax
+
+    mesh = create_mesh((2, 3))
+    cfg = amt_config("2.2", balancing=True, n_layers=6, num_heads=2,
+                     d_model=16, d_ff=32, max_seq_video=12, max_seq_chord=12,
+                     total_vf_dim=11, dropout=0.0)
+    model = VideoMusicTransformer(cfg=cfg)
+    tcfg = TrainConfig(optimizer="adamw", lr=1e-3)
+    tx = make_optimizer(tcfg, d_model=16)
+    batch = _amt_batch(rng, B=4)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+
+    from video2music_tpu.train.step import amt_loss
+
+    M, mb = 2, 2
+
+    def oracle(params):
+        ms = state.moe_state
+        parts = []
+        for i in range(M):
+            sl = {k: v[i * mb:(i + 1) * mb] for k, v in batch.items()}
+            logits, mut = model.apply(
+                {"params": params, "moe_state": ms}, sl["x"], sl["x_root"],
+                sl["x_attr"], sl["semantic"], sl["key"], sl["scene_offset"],
+                sl["motion"], sl["emotion"], deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(7)},
+                mutable=["moe_state", "metrics"])
+            ms = mut["moe_state"]
+            parts.append(logits)
+        total, _ = amt_loss(jnp.concatenate(parts, 0), batch, tcfg)
+        return total, ms
+
+    o_loss = jax.jit(lambda p: oracle(p)[0])(state.params)
+    o_ms = jax.jit(lambda p: oracle(p)[1])(state.params)
+
+    pp_step = jax.jit(make_amt_pp_train_step(model, tx, tcfg, mesh,
+                                             n_microbatches=M))
+    s_pp, m_pp = pp_step(state, shard_batch(mesh, batch))
+    np.testing.assert_allclose(float(m_pp["loss"]), float(o_loss),
+                               rtol=1e-5)
+    # balancing bias after the step matches the per-microbatch oracle
+    got_bias = s_pp.moe_state["dec_5"]["ffn"]["balance_bias"]
+    want_bias = o_ms["dec_5"]["ffn"]["balance_bias"]
+    np.testing.assert_allclose(np.asarray(got_bias), np.asarray(want_bias),
+                               atol=1e-6)
+    # scheduler steps advanced once per microbatch
+    if "sched_step" in o_ms.get("dec_5", {}).get("ffn", {}):
+        assert int(s_pp.moe_state["dec_5"]["ffn"]["sched_step"]) == \
+            int(o_ms["dec_5"]["ffn"]["sched_step"])

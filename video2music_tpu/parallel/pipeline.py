@@ -78,13 +78,17 @@ def pipeline_apply(layer_fn: Callable,
                    mesh: Mesh,
                    axis: str = MODEL_AXIS,
                    data_axis: str = DATA_AXIS,
-                   remat: bool = False) -> jax.Array:
+                   remat: bool = False,
+                   layer_state: Any = None):
     """Run a homogeneous layer stack as a GPipe pipeline over ``axis``.
 
     Args:
-      layer_fn: ``layer_fn(layer_params, x, ride, rng) -> x`` applying ONE
-        layer; ``x`` is (mb, L, D); ``ride`` is the per-microbatch side
-        input pytree (e.g. cross-attention memory) riding through the ring
+      layer_fn: applies ONE layer. Stateless stacks:
+        ``layer_fn(layer_params, x, ride, rng) -> x``. With
+        ``layer_state``: ``layer_fn(layer_params, state, x, ride, rng) ->
+        (x, new_state)`` — e.g. flax mutables like the MoE balancing bias.
+        ``x`` is (mb, L, D); ``ride`` is the per-microbatch side input
+        pytree (e.g. cross-attention memory) riding through the ring
         unchanged; ``rng`` is a PRNG key (dropout) or None.
       stacked_params: pytree with leading (n_layers, ...) axis;
         ``n_layers`` must be divisible by the axis size S. Device ``s``
@@ -98,9 +102,16 @@ def pipeline_apply(layer_fn: Callable,
         are independent across layers.
       remat: rematerialize each stage application in the backward pass
         (GPipe's activation-memory trade).
+      layer_state: optional pytree with leading (n_layers, ...) axis of
+        per-layer mutable state. State is STAGE-LOCAL: each stage sees its
+        microbatches in order and commits updates only on real (non-bubble)
+        ticks, so per-call state stepping (the reference's per-forward MoE
+        buffer updates, ``moe.py:274-280``) is preserved — M microbatches
+        = M sequential state steps, like M small-batch forwards.
 
     Returns:
-      (M, mb, L, D) outputs, same sharding as ``x_mb``.
+      (M, mb, L, D) outputs (same sharding as ``x_mb``), or a tuple
+      ``(outputs, new_layer_state)`` when ``layer_state`` is given.
     """
     n_stages = mesh.shape[axis]
     n_layers = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
@@ -111,26 +122,33 @@ def pipeline_apply(layer_fn: Callable,
     n_micro = x_mb.shape[0]
     have_ride = ride is not None
     have_rng = rngs is not None
+    have_state = layer_state is not None
     ride = ride if have_ride else ()
     rngs = rngs if have_rng else jnp.zeros((n_micro, 2), jnp.uint32)
+    layer_state = layer_state if have_state else ()
 
-    def stage_apply(w_stage, x, r, rng, stage_idx):
+    def stage_apply(w_stage, ls_stage, x, r, rng, stage_idx):
         """Apply this device's ``layers_per_stage`` consecutive layers."""
 
         def body(h, wl):
-            w_layer, local_idx = wl
+            w_layer, ls_layer, local_idx = wl
             layer_rng = jax.random.fold_in(
                 rng, stage_idx * layers_per_stage + local_idx)
-            return layer_fn(w_layer, h, r if have_ride else None,
-                            layer_rng if have_rng else None), None
+            args = (h, r if have_ride else None,
+                    layer_rng if have_rng else None)
+            if have_state:
+                h, new_ls = layer_fn(w_layer, ls_layer, *args)
+            else:
+                h, new_ls = layer_fn(w_layer, *args), ls_layer
+            return h, new_ls
 
         if remat:
             body = jax.checkpoint(body)
-        h, _ = jax.lax.scan(body, x,
-                            (w_stage, jnp.arange(layers_per_stage)))
-        return h
+        h, new_ls = jax.lax.scan(
+            body, x, (w_stage, ls_stage, jnp.arange(layers_per_stage)))
+        return h, new_ls
 
-    def pipelined(w_stage, xs, rides, keys):
+    def pipelined(w_stage, ls_stage, xs, rides, keys):
         # w_stage: (layers_per_stage, ...) local slice; xs: (M, mb, L, D)
         stage = jax.lax.axis_index(axis)
         state_x = jnp.zeros_like(xs[0])
@@ -141,7 +159,7 @@ def pipeline_apply(layer_fn: Callable,
         perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
         def tick(carry, t):
-            state_x, state_r, state_k, out = carry
+            state_x, state_r, state_k, ls, out = carry
             # stage 0 injects microbatch t for the first M ticks
             inj = jnp.minimum(t, n_micro - 1)
             take = lambda a: jax.lax.dynamic_index_in_dim(
@@ -152,7 +170,13 @@ def pipeline_apply(layer_fn: Callable,
                 lambda a, b: jnp.where(use_inject, take(a), b), rides,
                 state_r)
             state_k = jnp.where(use_inject, take(keys), state_k)
-            h = stage_apply(w_stage, state_x, state_r, state_k, stage)
+            h, new_ls = stage_apply(w_stage, ls, state_x, state_r, state_k,
+                                    stage)
+            # this tick processed a REAL microbatch iff 0 <= t-stage < M;
+            # bubble ticks ran on garbage — discard their state updates
+            valid = jnp.logical_and(t - stage >= 0, t - stage < n_micro)
+            ls = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(valid, new, old), new_ls, ls)
             # the last stage finishes microbatch t - (S-1) at tick t
             out_idx = t - (n_stages - 1)
             write = jnp.logical_and(stage == n_stages - 1, out_idx >= 0)
@@ -161,23 +185,26 @@ def pipeline_apply(layer_fn: Callable,
             out = jax.lax.dynamic_update_index_in_dim(
                 out, jnp.where(write, h, prev), safe, 0)
             # rotate the ring: activation, ride, and rng move together
+            # (layer state stays put — it belongs to the stage)
             state_x = jax.lax.ppermute(h, axis, perm)
             state_r = jax.tree_util.tree_map(
                 lambda a: jax.lax.ppermute(a, axis, perm), state_r)
             state_k = jax.lax.ppermute(state_k, axis, perm)
-            return (state_x, state_r, state_k, out), None
+            return (state_x, state_r, state_k, ls, out), None
 
-        (_, _, _, out), _ = jax.lax.scan(
-            tick, (state_x, state_r, state_k, out),
+        (_, _, _, ls, out), _ = jax.lax.scan(
+            tick, (state_x, state_r, state_k, ls_stage, out),
             jnp.arange(n_micro + n_stages - 1))
         # only the last stage holds real outputs (zeros elsewhere) — one
         # psum replicates them over the pipe axis
-        return jax.lax.psum(out, axis)
+        return jax.lax.psum(out, axis), ls
 
     mb_spec = P(None, data_axis)
     ride_specs = jax.tree_util.tree_map(lambda _: mb_spec, ride)
-    return jax.shard_map(
+    state_specs = jax.tree_util.tree_map(lambda _: P(axis), layer_state)
+    out, new_state = jax.shard_map(
         pipelined, mesh=mesh,
-        in_specs=(P(axis), mb_spec, ride_specs, P(None)),
-        out_specs=mb_spec, check_vma=False,
-    )(stacked_params, x_mb, ride, rngs)
+        in_specs=(P(axis), state_specs, mb_spec, ride_specs, P(None)),
+        out_specs=(mb_spec, state_specs), check_vma=False,
+    )(stacked_params, layer_state, x_mb, ride, rngs)
+    return (out, new_state) if have_state else out

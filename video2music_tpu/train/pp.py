@@ -7,12 +7,20 @@ mesh axis (see parallel/pipeline.py) while the batch stays sharded over
 "data". The reference has no distributed training at all (SURVEY §2.5);
 this is a strategy the TPU framework adds.
 
-Scope: homogeneous layer stacks — the base AMT (``amt_config(None)``) whose
-n encoder and n decoder layers are identical modules (reference:
-``model/video_music_transformer.py:956-971``). Variant stacks with
-shallow/deep splits (V2), depth-dependent attention (V3 differential
-lambda), or MoE functional state are rejected — they use the TP/EP
-shardings of parallel/mesh.py instead.
+Stacks are split into HOMOGENEOUS SEGMENTS of consecutive identical layer
+specs and each segment is pipelined separately: the base AMT is one
+segment of n identical layers (reference:
+``model/video_music_transformer.py:956-971``); the V2 family's 3 shallow
+SwiGLU + 3 deep SharedMoE split (``:411-419``) becomes two segments, each
+of whose length must divide the pipeline-stage count (e.g. "model"=3 for
+the reference's 6-layer models).
+
+MoE functional state (balancing bias, schedulers — ``moe.py:66-97,
+256-280``) threads through the pipeline as STAGE-LOCAL layer state: each
+stage sees its microbatches in order, so state steps once per microbatch
+— the same per-forward-call semantics as the reference, with M
+microbatches behaving like M small-batch forwards. Depth-dependent stacks
+(V3 differential attention lambda_init) are rejected — use TP/EP.
 
 Dropout note: the pipeline step folds per-microbatch, per-layer PRNG keys
 (independent streams, same distribution) rather than flax's module-path
@@ -31,31 +39,48 @@ from jax.sharding import Mesh
 
 from ..core.config import TrainConfig
 from ..models.layers import DecoderLayer, EncoderLayer
-from ..parallel.mesh import MODEL_AXIS
+from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
 from ..parallel.pipeline import (microbatch, pipeline_apply,
-                                 stack_layer_params, unmicrobatch)
+                                 unmicrobatch)
 from .step import TrainState, _maybe_bf16, _maybe_bf16_batch, amt_loss
+
+
+def _segments(specs):
+    """Split a layer-spec tuple into (spec, [layer indices]) runs of
+    consecutive identical specs."""
+    segs = []
+    for i, spec in enumerate(specs):
+        if segs and segs[-1][0] == spec:
+            segs[-1][1].append(i)
+        else:
+            segs.append((spec, [i]))
+    return segs
 
 
 def _check_pipelineable(cfg, n_stages: int) -> None:
     for name, specs in (("encoder", cfg.encoder_layers),
                         ("decoder", cfg.decoder_layers)):
-        if any(s != specs[0] for s in specs):
-            raise ValueError(
-                f"{name} stack is not homogeneous (shallow/deep split) — "
-                "pipeline parallelism needs identical stages; use TP/EP")
-        if specs[0].ffn == "moe":
-            raise ValueError(
-                "MoE stacks carry functional moe_state which the pipeline "
-                "step does not thread; use EP sharding instead")
-        if specs[0].attn.kind == "differential":
-            raise ValueError(
-                "differential attention is depth-dependent (lambda_init) — "
-                "stages are not homogeneous")
-        if len(specs) % n_stages:
-            raise ValueError(
-                f"{len(specs)} {name} layers not divisible by "
-                f"{n_stages} stages")
+        for spec, idxs in _segments(specs):
+            if spec.attn.kind == "differential":
+                raise ValueError(
+                    "differential attention is depth-dependent "
+                    "(lambda_init) — stages are not homogeneous; use TP/EP")
+            if len(idxs) % n_stages:
+                raise ValueError(
+                    f"{name} segment of {len(idxs)} identical layers not "
+                    f"divisible by {n_stages} pipeline stages (the V2 "
+                    "3 shallow + 3 deep split pipelines on a model axis "
+                    "of 3 or 1)")
+
+
+def _stack_subtrees(tree, names):
+    subs = [tree[n] for n in names]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *subs)
+
+
+def _unstack_subtrees(stacked, names):
+    return {n: jax.tree_util.tree_map(lambda s, j=j: s[j], stacked)
+            for j, n in enumerate(names)}
 
 
 def make_amt_pp_train_step(model, tx, tcfg: TrainConfig, mesh: Mesh,
@@ -69,25 +94,84 @@ def make_amt_pp_train_step(model, tx, tcfg: TrainConfig, mesh: Mesh,
         raise ValueError("separated heads not supported in the pp step")
     n_stages = mesh.shape[MODEL_AXIS]
     _check_pipelineable(cfg, n_stages)
-    n_enc, n_dec = len(cfg.encoder_layers), len(cfg.decoder_layers)
     residual_dropout = cfg.version is None
-    enc_layer = EncoderLayer(spec=cfg.encoder_layers[0], cfg=cfg, depth=0,
-                             residual_dropout=residual_dropout)
-    dec_layer = DecoderLayer(spec=cfg.decoder_layers[0], cfg=cfg, depth=0,
-                             residual_dropout=residual_dropout)
+    enc_segments = [
+        (EncoderLayer(spec=spec, cfg=cfg, depth=0,
+                      residual_dropout=residual_dropout),
+         [f"enc_{i}" for i in idxs], spec.ffn == "moe")
+        for spec, idxs in _segments(cfg.encoder_layers)]
+    dec_segments = [
+        (DecoderLayer(spec=spec, cfg=cfg, depth=0,
+                      residual_dropout=residual_dropout),
+         [f"dec_{i}" for i in idxs], spec.ffn == "moe")
+        for spec, idxs in _segments(cfg.decoder_layers)]
 
-    def enc_fn(w, h, ride, rng):
-        del ride
-        return enc_layer.apply(
-            {"params": w}, h, deterministic=rng is None,
-            rngs=None if rng is None else {"dropout": rng})
+    def _layer_fns(layer_module, is_dec):
+        def apply(w, ms, h, ride, rng, mutable):
+            args = (h, ride["memory"]) if is_dec else (h,)  # enc: no ride
+            variables = {"params": w}
+            if ms is not None:
+                variables["moe_state"] = ms
+            return layer_module.apply(
+                variables, *args, deterministic=rng is None,
+                rngs=None if rng is None else {"dropout": rng},
+                mutable=mutable)
 
-    def dec_fn(w, h, ride, rng):
-        return dec_layer.apply(
-            {"params": w}, h, ride["memory"], deterministic=rng is None,
-            rngs=None if rng is None else {"dropout": rng})
+        def stateless(w, h, ride, rng):
+            out, _ = apply(w, None, h, ride, rng, ["metrics"])
+            return out
 
-    def forward(params, batch, d_rng: Optional[jax.Array]):
+        def stateful(w, ms, h, ride, rng):
+            out, mutated = apply(w, ms, h, ride, rng,
+                                 ["moe_state", "metrics"])
+
+            # Inside shard_map the MoE layer saw only this device's batch
+            # shard, so its balancing update used LOCAL expert counts. The
+            # GSPMD (non-pp) step psums counts globally; recover that here:
+            # the bias update is additive in the counts error, so psum the
+            # DELTA over "data". Scheduler step counters advance by the
+            # same amount on every replica and stay as-is.
+            def fix(path, new, old):
+                name = getattr(path[-1], "key", None)
+                if name == "balance_bias":
+                    return old + jax.lax.psum(new - old, DATA_AXIS)
+                return new
+
+            new_ms = jax.tree_util.tree_map_with_path(
+                fix, mutated["moe_state"], ms)
+            return out, new_ms
+
+        return stateless, stateful
+
+    def _run_stack(segments, params, moe_state, x_mb, ride, base_rng, tag,
+                   is_dec, new_moe):
+        for si, (layer_module, names, is_moe) in enumerate(segments):
+            # MoE segments are stateful only when the config actually
+            # creates moe_state vars (balancing / schedulers) — 2.2
+            # proper has none and runs the stateless path
+            has_state = is_moe and all(n in moe_state for n in names)
+            stateless, stateful = _layer_fns(layer_module, is_dec)
+            keys = None
+            if base_rng is not None:
+                seg_rng = jax.random.fold_in(
+                    jax.random.fold_in(base_rng, tag), si)
+                keys = jax.vmap(
+                    lambda i, r=seg_rng: jax.random.fold_in(r, i))(
+                        jnp.arange(n_microbatches))
+            stacked = _stack_subtrees(params, names)
+            if has_state:
+                x_mb, new_ls = pipeline_apply(
+                    stateful, stacked, x_mb, ride=ride, rngs=keys,
+                    mesh=mesh, remat=remat,
+                    layer_state=_stack_subtrees(moe_state, names))
+                new_moe.update(_unstack_subtrees(new_ls, names))
+            else:
+                x_mb = pipeline_apply(
+                    stateless, stacked, x_mb, ride=ride, rngs=keys,
+                    mesh=mesh, remat=remat)
+        return x_mb
+
+    def forward(params, moe_state, batch, d_rng: Optional[jax.Array]):
         det = d_rng is None
         rngs = None if det else {"dropout": d_rng}
         apply = lambda method, *a: model.apply(
@@ -98,44 +182,39 @@ def make_amt_pp_train_step(model, tx, tcfg: TrainConfig, mesh: Mesh,
         xf = apply("embed_decoder_input", batch["x"], batch["x_root"],
                    batch["x_attr"], batch["key"])
 
-        if det:
-            enc_keys = dec_keys = None
-        else:
-            mk = lambda tag: jax.vmap(
-                lambda i: jax.random.fold_in(
-                    jax.random.fold_in(d_rng, tag), i))(
-                        jnp.arange(n_microbatches))
-            enc_keys, dec_keys = mk(1), mk(2)
-
-        mem_mb = pipeline_apply(
-            enc_fn, stack_layer_params(params, "enc_", n_enc),
-            microbatch(vf, n_microbatches), rngs=enc_keys, mesh=mesh,
-            remat=remat)
-        memory = model.apply({"params": params}, unmicrobatch(mem_mb),
+        new_moe = {}
+        vf_mb = _run_stack(enc_segments, params, moe_state,
+                           microbatch(vf, n_microbatches), None,
+                           d_rng, 1, False, new_moe)
+        memory = model.apply({"params": params}, unmicrobatch(vf_mb),
                              method="finalize_encoder")
-        out_mb = pipeline_apply(
-            dec_fn, stack_layer_params(params, "dec_", n_dec),
-            microbatch(xf, n_microbatches),
-            ride={"memory": microbatch(memory, n_microbatches)},
-            rngs=dec_keys, mesh=mesh, remat=remat)
-        return model.apply({"params": params}, unmicrobatch(out_mb),
-                           method="head")
+        out_mb = _run_stack(dec_segments, params, moe_state,
+                            microbatch(xf, n_microbatches),
+                            {"memory": microbatch(memory, n_microbatches)},
+                            d_rng, 2, True, new_moe)
+        logits = model.apply({"params": params}, unmicrobatch(out_mb),
+                             method="head")
+        return logits, new_moe
 
     def train_step(state: TrainState, batch):
         rng, d_rng, l_rng = jax.random.split(state.rng, 3)
 
         def loss_fn(params):
-            logits = forward(_maybe_bf16(params, tcfg),
-                             _maybe_bf16_batch(batch, tcfg), d_rng)
+            logits, new_moe = forward(
+                _maybe_bf16(params, tcfg), state.moe_state,
+                _maybe_bf16_batch(batch, tcfg), d_rng)
             total, (lc, le) = amt_loss(
                 logits, batch, tcfg, rng=(l_rng if drop_loss else None))
-            return total, (total, lc, le)
+            return total, (total, lc, le, new_moe)
 
-        grads, (total, lc, le) = jax.grad(
+        grads, (total, lc, le, new_moe) = jax.grad(
             loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        moe_state = dict(state.moe_state)
+        moe_state.update(new_moe)
         new_state = state.replace(step=state.step + 1, params=params,
+                                  moe_state=moe_state,
                                   opt_state=opt_state, rng=rng)
         return new_state, {"loss": total, "loss_chord": lc,
                            "loss_emotion": le}
