@@ -218,3 +218,35 @@ def test_train_amt_cli_parallel_sp(tmp_path):
     rows = list(csv.reader(open(out / "results.csv")))
     assert rows[0] == CSV_HEADER and len(rows) == 2
     assert np.isfinite(float(rows[1][8]))
+
+
+def test_full_batches_drops_ragged():
+    from video2music_tpu.train.loop import _full_batches
+
+    batches = [{"x": np.zeros((4, 3))}, {"x": np.zeros((4, 3))},
+               {"x": np.zeros((2, 3))}]
+    msgs = []
+    out = list(_full_batches(iter(batches), 4, msgs.append))
+    assert len(out) == 2
+    assert len(msgs) == 1 and "ragged" in msgs[0]
+
+
+def test_train_amt_mesh_rejects_indivisible_batch(tmp_path):
+    import jax
+    from video2music_tpu.core.config import TrainConfig, amt_config
+    from video2music_tpu.models import VideoMusicTransformer
+    from video2music_tpu.parallel import create_mesh
+
+    root = tmp_path / "d"
+    _write_fixture_tree(str(root), ["aaa", "bbb", "ccc", "ddd"])
+    train_ds, val_ds, _ = create_vevo_datasets(str(root), max_seq_chord=10,
+                                               max_seq_video=10)
+    cfg = amt_config(None, n_layers=2, num_heads=2, d_model=16, d_ff=32,
+                     max_seq_video=10, max_seq_chord=10,
+                     total_vf_dim=776, dropout=0.0)
+    model = VideoMusicTransformer(cfg=cfg)
+    tcfg = TrainConfig(optimizer="adam", lr=1e-3)
+    loop = LoopConfig(epochs=1, batch_size=3, output_dir=str(tmp_path / "o"))
+    with pytest.raises(ValueError, match="divisible"):
+        train_amt(model, tcfg, loop, train_ds, val_ds,
+                  mesh=create_mesh((2, 2)), parallel="dp")

@@ -122,3 +122,32 @@ def test_http_serve_round_trip(tiny_v2m, tmp_path):
     finally:
         server.shutdown()
         app.stop()
+
+
+def test_http_serve_bad_payload_is_400(tiny_v2m, tmp_path):
+    from video2music_tpu.cli.serve import ServeApp, make_server
+
+    app = ServeApp(output_dir=str(tmp_path), v2m=tiny_v2m)
+    server = make_server(app, port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"features": {"semantic": [[0.0]]}}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=30)
+        assert ei.value.code == 400  # missing feature keys != 404
+    finally:
+        server.shutdown()
+        app.stop()
+
+
+def test_batcher_buckets_cover_max_batch(tiny_v2m, tmp_path):
+    b = DynamicBatcher(tiny_v2m, max_batch=24, max_wait_ms=1,
+                       output_dir=str(tmp_path))
+    try:
+        assert b.buckets[-1] >= 24  # a 17+-request group has a width
+    finally:
+        b.stop()

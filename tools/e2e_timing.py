@@ -79,27 +79,32 @@ def main():
         t0 = time.perf_counter()
         synthesize_video(video, args.seconds, args.fps, w, h)
         print(f"synth video: {args.seconds}s @{args.fps}fps {w}x{h} "
-              f"({time.perf_counter() - t0:.1f}s)")
+              f"({time.perf_counter() - t0:.1f}s)", flush=True)
 
     rng = jax.random.PRNGKey(0)
     t0 = time.perf_counter()
     clip_model = CLIP(cfg=clip_vit_l14_336_config())
     text_embeds = np.asarray(
         jax.random.normal(jax.random.fold_in(rng, 1), (6, 768)), np.float32)
+    # init on the host CPU: random weights don't need a TPU compile of the
+    # init program (real deployments load converted checkpoints anyway).
     # init through emotion_probs: creates the vision tower + logit scale
     # (the text tower is unused at serving time — embeddings are
     # precomputed, reference: video2music.py:189-198)
-    clip_params = jax.jit(
-        lambda r, p, t: clip_model.init(r, p, t,
-                                        method=CLIP.emotion_probs)
-    )(rng, jnp.zeros((1, 336, 336, 3), jnp.float32),
-      jnp.asarray(text_embeds))["params"]
-    mv = MaxViT(cfg=maxvit_t_config())
-    maxvit_params = jax.jit(mv.init)(
-        jax.random.fold_in(rng, 2),
-        jnp.zeros((1, 224, 224, 3), jnp.float32))["params"]
-    print(f"extractor init (random weights): "
-          f"{time.perf_counter() - t0:.1f}s")
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        clip_params = jax.jit(
+            lambda r, p, t: clip_model.init(r, p, t,
+                                            method=CLIP.emotion_probs),
+            device=cpu,
+        )(rng, jnp.zeros((1, 336, 336, 3), jnp.float32),
+          jnp.asarray(text_embeds))["params"]
+        mv = MaxViT(cfg=maxvit_t_config())
+        maxvit_params = jax.jit(mv.init, device=cpu)(
+            jax.random.fold_in(rng, 2),
+            jnp.zeros((1, 224, 224, 3), jnp.float32))["params"]
+    print(f"extractor init (random weights, host): "
+          f"{time.perf_counter() - t0:.1f}s", flush=True)
 
     v2m = Video2music(motion_type=1, clip_params=clip_params,
                       emotion_text_embeds=text_embeds,
@@ -117,7 +122,8 @@ def main():
         tag = "cold (incl. compile)" if r == 0 else "warm"
         print(f"run {r} [{tag}]: features {t_feat:.2f}s + "
               f"generate+render {t_gen:.2f}s = {t_feat + t_gen:.2f}s "
-              f"({len(res.chords)} chords, midi={res.midi_path})")
+              f"({len(res.chords)} chords, midi={res.midi_path})",
+              flush=True)
 
 
 if __name__ == "__main__":

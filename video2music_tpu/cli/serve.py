@@ -51,27 +51,34 @@ class ServeApp:
         self._batcher = None
         self._max_batch = max_batch
         self._max_wait_ms = max_wait_ms
+        # lazy-init guard: concurrent first requests on the threading
+        # server must not build two models / two batcher workers
+        self._init_lock = threading.Lock()
 
     @property
     def test_ds(self):
-        if self._test_ds is None:
-            from ..data import create_vevo_datasets
-            _, _, self._test_ds = create_vevo_datasets(
-                dataset_root=self.dataset_dir, motion_type=self.motion_type)
-        return self._test_ds
+        with self._init_lock:
+            if self._test_ds is None:
+                from ..data import create_vevo_datasets
+                _, _, self._test_ds = create_vevo_datasets(
+                    dataset_root=self.dataset_dir,
+                    motion_type=self.motion_type)
+            return self._test_ds
 
     @property
     def batcher(self):
-        if self._batcher is None:
-            from ..pipeline.serving import DynamicBatcher
-            if self._v2m is None:
-                from ..pipeline.api import Video2music
-                self._v2m = Video2music(motion_type=self.motion_type,
-                                        **self._v2m_kwargs)
-            self._batcher = DynamicBatcher(
-                self._v2m, max_batch=self._max_batch,
-                max_wait_ms=self._max_wait_ms, output_dir=self.output_dir)
-        return self._batcher
+        with self._init_lock:
+            if self._batcher is None:
+                from ..pipeline.serving import DynamicBatcher
+                if self._v2m is None:
+                    from ..pipeline.api import Video2music
+                    self._v2m = Video2music(motion_type=self.motion_type,
+                                            **self._v2m_kwargs)
+                self._batcher = DynamicBatcher(
+                    self._v2m, max_batch=self._max_batch,
+                    max_wait_ms=self._max_wait_ms,
+                    output_dir=self.output_dir)
+            return self._batcher
 
     def stop(self):
         if self._batcher is not None:
@@ -81,6 +88,10 @@ class ServeApp:
     def _features_for(self, body: Dict) -> Dict[str, np.ndarray]:
         if "features" in body:
             f = body["features"]
+            missing = [k for k in ("semantic", "emotion", "scene_offset",
+                                   "motion") if k not in f]
+            if missing:
+                raise ValueError(f"features missing keys: {missing}")
             return {k: np.asarray(f[k], np.float32)
                     for k in ("semantic", "emotion", "scene_offset",
                               "motion")}
@@ -93,13 +104,18 @@ class ServeApp:
                 ("semantic", "emotion", "scene_offset", "motion")}
 
     def handle_generate(self, body: Dict) -> Dict:
+        # KeyError may escape only from the test_id lookup (-> 404); any
+        # KeyError out of the batched pipeline is a server bug (-> 500)
         request = dict(
             features=self._features_for(body),
             primer=body.get("primer", ""),
             key=body.get("key"),
             transposition_value=int(body.get("transposition_value", 0)))
-        result, width = self.batcher.generate(
-            request, temperature=float(body.get("temperature", 1.0)))
+        try:
+            result, width = self.batcher.generate(
+                request, temperature=float(body.get("temperature", 1.0)))
+        except KeyError as exc:
+            raise RuntimeError(f"pipeline KeyError: {exc}") from exc
         return {
             "chords": result.chords,
             "key": result.key,
@@ -139,8 +155,10 @@ def make_server(app: ServeApp, host: str = "127.0.0.1", port: int = 0):
                 n = int(self.headers.get("Content-Length", "0"))
                 body = json.loads(self.rfile.read(n) or b"{}")
                 self._json(200, app.handle_generate(body))
-            except KeyError as exc:
+            except KeyError as exc:     # unknown test_id
                 self._json(404, {"error": str(exc)})
+            except (ValueError, json.JSONDecodeError) as exc:  # bad payload
+                self._json(400, {"error": str(exc)})
             except Exception as exc:  # noqa: BLE001 — serving boundary
                 self._json(500, {"error": f"{type(exc).__name__}: {exc}"})
 

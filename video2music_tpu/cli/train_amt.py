@@ -112,6 +112,10 @@ def main(argv=None):
         mesh = create_mesh((data, model_ax))
         if args.parallel == "sp":
             cfg = dataclasses.replace(cfg, sequence_parallel=True)
+    elif args.parallel != "dp":
+        raise SystemExit(
+            f"-parallel {args.parallel} requires -mesh (e.g. -mesh 4x2); "
+            "without a mesh the run would silently train single-device")
     model = VideoMusicTransformer(cfg=cfg)
     train_amt(model, tcfg, loop, train_ds, val_ds, drop_loss=args.drop_loss,
               mesh=mesh, parallel=args.parallel,

@@ -33,21 +33,29 @@ from jax.sharding import Mesh, PartitionSpec as P
 from .mesh import DATA_AXIS, MODEL_AXIS
 
 
+def stack_subtrees(tree: Any, names) -> Any:
+    """Stack the named subtrees of ``tree`` into one tree with a leading
+    (len(names), ...) axis. All subtrees must share an identical structure
+    (homogeneous stack). Pure ``jnp.stack`` per leaf — differentiable, and
+    gradients w.r.t. the stacked tree unstack transparently."""
+    subtrees = [tree[n] for n in names]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *subtrees)
+
+
+def unstack_subtrees(stacked: Any, names) -> Any:
+    """Inverse of :func:`stack_subtrees`: leading-axis slices back into a
+    ``{name: subtree}`` dict."""
+    return {n: jax.tree_util.tree_map(lambda s, j=j: s[j], stacked)
+            for j, n in enumerate(names)}
+
+
 def stack_layer_params(params: Any, prefix: str, n_layers: int) -> Any:
     """Stack per-layer parameter subtrees ``{prefix}0..{prefix}{n-1}`` into
-    one tree with a leading (n_layers, ...) axis.
-
-    All layers must share an identical tree structure (homogeneous stack) —
-    true for the base AMT's encoder/decoder (reference:
-    ``model/video_music_transformer.py:956-971`` builds n identical torch
-    layers); the V2 shallow/deep split is *not* stackable and is rejected by
-    the caller.
-
-    The stack is pure ``jnp.stack`` per leaf, so it is differentiable and
-    gradients w.r.t. the stacked tree unstack transparently.
-    """
-    subtrees = [params[f"{prefix}{i}"] for i in range(n_layers)]
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *subtrees)
+    one tree with a leading (n_layers, ...) axis (see
+    :func:`stack_subtrees`) — e.g. the base AMT's n identical
+    encoder/decoder layers (reference:
+    ``model/video_music_transformer.py:956-971``)."""
+    return stack_subtrees(params, [f"{prefix}{i}" for i in range(n_layers)])
 
 
 def microbatch(tree: Any, n_microbatches: int) -> Any:

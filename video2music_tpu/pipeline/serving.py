@@ -67,9 +67,14 @@ class DynamicBatcher:
         self.buckets = tuple(sorted(b for b in buckets if b <= max_batch))
         if not self.buckets or self.buckets[0] != 1:
             raise ValueError("buckets must include 1 and respect max_batch")
+        if self.buckets[-1] < max_batch:
+            # a gathered group can reach max_batch — the bucket list must
+            # cover it or _run_batch would have no width to pad to
+            self.buckets = self.buckets + (max_batch,)
         self.generate_kwargs = generate_kwargs
         self.stats = {"requests": 0, "batches": 0, "batched_requests": 0,
                       "max_batch_size": 0}
+        self._stats_lock = threading.Lock()
         self._seq = itertools.count()
         self._q: "queue.Queue[Optional[_Pending]]" = queue.Queue()
         self._stop = threading.Event()
@@ -88,7 +93,8 @@ class DynamicBatcher:
             request = dict(request, output_dir=os.path.join(
                 self.output_dir, f"req_{next(self._seq):06d}"))
         item = _Pending(request=request, temperature=float(temperature))
-        self.stats["requests"] += 1
+        with self._stats_lock:
+            self.stats["requests"] += 1
         self._q.put(item)
         return item.future
 
@@ -151,8 +157,10 @@ class DynamicBatcher:
             for it in items:
                 it.future.set_exception(exc)
             return
-        self.stats["batches"] += 1
-        self.stats["batched_requests"] += n
-        self.stats["max_batch_size"] = max(self.stats["max_batch_size"], n)
+        with self._stats_lock:
+            self.stats["batches"] += 1
+            self.stats["batched_requests"] += n
+            self.stats["max_batch_size"] = max(self.stats["max_batch_size"],
+                                               n)
         for it, res in zip(items, results[:n]):
             it.future.set_result((res, bucket))

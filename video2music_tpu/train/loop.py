@@ -130,10 +130,32 @@ def _epoch_pass(step_fn, state, batches_iter, device_put=None):
     return state, losses
 
 
-def _eval_pass(eval_fn, state, dataset, batch_size, device_put=None):
+def _full_batches(batches_iter, batch_size: int, log_fn):
+    """Drop ragged trailing batches (mesh runs need every batch divisible
+    by the data axis / microbatch count — sharded device_put rejects a
+    partial batch mid-epoch otherwise). The reference's DataLoader keeps
+    partial batches (drop_last defaults False); single-device runs here do
+    too — only mesh runs drop, with a one-time notice."""
+    warned = False
+    for batch in batches_iter:
+        n = next(iter(batch.values())).shape[0]
+        if n != batch_size:
+            if not warned:
+                log_fn(f"mesh run: dropping ragged batch of {n} "
+                       f"(< batch_size {batch_size}) — sharded steps need "
+                       "full batches")
+                warned = True
+            continue
+        yield batch
+
+
+def _eval_pass(eval_fn, state, dataset, batch_size, device_put=None,
+               full_only=False, log_fn=print):
     rows = []
-    for batch in device_prefetch(
-            make_batches(dataset, batch_size, shuffle=False), device_put):
+    batches = make_batches(dataset, batch_size, shuffle=False)
+    if full_only:
+        batches = _full_batches(batches, batch_size, log_fn)
+    for batch in device_prefetch(batches, device_put):
         rows.append(eval_fn(state.params, state.moe_state, batch))
     return _mean_metrics(rows)
 
@@ -175,6 +197,18 @@ def train_amt(model, tcfg: TrainConfig, loop: LoopConfig, train_ds, val_ds,
         if parallel == "sp" and not model.cfg.sequence_parallel:
             raise ValueError(
                 "parallel='sp' needs AMTConfig.sequence_parallel=True")
+        data = mesh.shape["data"]
+        if loop.batch_size % data:
+            raise ValueError(
+                f"batch_size {loop.batch_size} not divisible by the "
+                f"data-axis size {data}")
+        if parallel == "pp" and (
+                loop.batch_size % n_microbatches
+                or (loop.batch_size // n_microbatches) % data):
+            raise ValueError(
+                f"pp needs batch_size divisible by n_microbatches "
+                f"({n_microbatches}) and each microbatch divisible by the "
+                f"data axis ({data}); got {loop.batch_size}")
         if device_put is None:
             device_put = lambda b: shard_batch(mesh, b)
     mesh_ctx = (jax.sharding.set_mesh(mesh)
@@ -235,15 +269,20 @@ def _train_amt_body(model, tcfg, loop, train_ds, val_ds, *, drop_loss,
     # threaded prefetch: file parsing (C++ fast path) overlaps device compute
     loader = PrefetchLoader(train_ds, loop.batch_size, shuffle=True,
                             seed=loop.seed)
+    sharded = mesh is not None
     for epoch in range(start_epoch, loop.epochs):
         t0 = time.time()
-        state, _ = _epoch_pass(train_step, state, loader,
+        train_iter = (_full_batches(loader, loop.batch_size, loop.log_fn)
+                      if sharded else loader)
+        state, _ = _epoch_pass(train_step, state, train_iter,
                                device_put=device_put)
         train_m = (_eval_pass(eval_step, state, train_ds, loop.batch_size,
-                              device_put)
+                              device_put, full_only=sharded,
+                              log_fn=loop.log_fn)
                    if loop.eval_train_subset else {})
         eval_m = _eval_pass(eval_step, state, val_ds, loop.batch_size,
-                            device_put)
+                            device_put, full_only=sharded,
+                            log_fn=loop.log_fn)
         lr = (float(sched(int(state.step))) if tcfg.lr is None else tcfg.lr)
         loop.log_fn(
             f"epoch {epoch + 1}/{loop.epochs} "

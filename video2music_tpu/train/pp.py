@@ -40,8 +40,8 @@ from jax.sharding import Mesh
 from ..core.config import TrainConfig
 from ..models.layers import DecoderLayer, EncoderLayer
 from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
-from ..parallel.pipeline import (microbatch, pipeline_apply,
-                                 unmicrobatch)
+from ..parallel.pipeline import (microbatch, pipeline_apply, stack_subtrees,
+                                 unmicrobatch, unstack_subtrees)
 from .step import TrainState, _maybe_bf16, _maybe_bf16_batch, amt_loss
 
 
@@ -71,16 +71,6 @@ def _check_pipelineable(cfg, n_stages: int) -> None:
                     f"divisible by {n_stages} pipeline stages (the V2 "
                     "3 shallow + 3 deep split pipelines on a model axis "
                     "of 3 or 1)")
-
-
-def _stack_subtrees(tree, names):
-    subs = [tree[n] for n in names]
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *subs)
-
-
-def _unstack_subtrees(stacked, names):
-    return {n: jax.tree_util.tree_map(lambda s, j=j: s[j], stacked)
-            for j, n in enumerate(names)}
 
 
 def make_amt_pp_train_step(model, tx, tcfg: TrainConfig, mesh: Mesh,
@@ -158,13 +148,13 @@ def make_amt_pp_train_step(model, tx, tcfg: TrainConfig, mesh: Mesh,
                 keys = jax.vmap(
                     lambda i, r=seg_rng: jax.random.fold_in(r, i))(
                         jnp.arange(n_microbatches))
-            stacked = _stack_subtrees(params, names)
+            stacked = stack_subtrees(params, names)
             if has_state:
                 x_mb, new_ls = pipeline_apply(
                     stateful, stacked, x_mb, ride=ride, rngs=keys,
                     mesh=mesh, remat=remat,
-                    layer_state=_stack_subtrees(moe_state, names))
-                new_moe.update(_unstack_subtrees(new_ls, names))
+                    layer_state=stack_subtrees(moe_state, names))
+                new_moe.update(unstack_subtrees(new_ls, names))
             else:
                 x_mb = pipeline_apply(
                     stateless, stacked, x_mb, ride=ride, rngs=keys,
