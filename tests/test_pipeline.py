@@ -232,3 +232,16 @@ def test_silu_approximation_fit():
     # over predicting zero (max |silu| ~= 3.9 on the range)
     assert err < 1.0, err
     assert err < 0.3 * np.max(np.abs(silu(x)))
+
+
+def test_pad_frame_bucket_shapes():
+    import jax.numpy as jnp
+    from video2music_tpu.pipeline.api import _pad_frame_bucket
+
+    x = jnp.ones((61, 8, 8, 3))
+    out = _pad_frame_bucket(x)
+    assert out.shape[0] == 90
+    np.testing.assert_array_equal(np.asarray(out[:61]), np.asarray(x))
+    assert float(np.abs(np.asarray(out[61:])).sum()) == 0.0
+    assert _pad_frame_bucket(jnp.ones((30, 4))).shape[0] == 30
+    assert _pad_frame_bucket(jnp.ones((291, 4))).shape[0] == 300

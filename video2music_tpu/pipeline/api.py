@@ -86,6 +86,19 @@ def smooth_emotion(emotion: np.ndarray, window: int = 5) -> np.ndarray:
     return out
 
 
+def _pad_frame_bucket(frames, bucket: int = 30):
+    """Zero-pad a frame batch up to the next ``bucket`` multiple (capped at
+    MAX_SECONDS) so extractor programs compile per bucket, not per clip
+    duration. Callers slice the output back to the true length — frames
+    are independent batch elements, so padding is exact."""
+    n = frames.shape[0]
+    target = min(MAX_SECONDS, -(-max(n, 1) // bucket) * bucket)
+    if target == n:
+        return frames
+    pad = [(0, target - n)] + [(0, 0)] * (frames.ndim - 1)
+    return jnp.pad(frames, pad)
+
+
 def _pad_to(arr: np.ndarray, length: int) -> np.ndarray:
     if arr.shape[0] >= length:
         return arr[:length]
@@ -120,9 +133,15 @@ class Video2music:
                                         total_vf_dim=768 + 6,
                                         **(reg_overrides or {}))
         self.model_reg = VideoRegression(cfg=self.reg_cfg)
-        self.clip_params = clip_params
+        # Pin extractor weights to the default (accelerator) device ONCE.
+        # Host-committed params (e.g. converted checkpoints loaded on CPU)
+        # would otherwise re-upload ~1.3 GB through the device link on
+        # EVERY extract_features call — measured ~20 min/call through the
+        # remote-TPU tunnel before this.
+        put = lambda t: None if t is None else jax.device_put(t)
+        self.clip_params = put(clip_params)
         self.emotion_text_embeds = emotion_text_embeds
-        self.maxvit_params = maxvit_params
+        self.maxvit_params = put(maxvit_params)
 
         rng = jax.random.PRNGKey(seed)
         L = MAX_SECONDS
@@ -152,14 +171,34 @@ class Video2music:
                 reg_checkpoint, self.reg_variables["params"])
 
     # ------------------------------------------------------------------
+    @property
+    def _feature_jits(self):
+        """Jitted extractor programs, built ONCE per instance — a fresh
+        ``jax.jit(lambda ...)`` per call would miss jit's function-identity
+        cache and recompile CLIP/MaxViT on every video (measured: ~18 min
+        of recompiles per warm extract_features call on v5e without this)."""
+        jits = getattr(self, "_feature_jits_cache", None)
+        if jits is None:
+            from ..features.clip import CLIP, clip_vit_l14_336_config
+            from ..features.maxvit import MaxViT, maxvit_t_config
+
+            clip_model = CLIP(cfg=clip_vit_l14_336_config())
+            mv = MaxViT(cfg=maxvit_t_config())
+            jits = self._feature_jits_cache = dict(
+                semantic=jax.jit(lambda v, p: clip_model.apply(
+                    v, p, method=clip_model.encode_image)),
+                emotion=jax.jit(lambda v, p, t: clip_model.apply(
+                    v, p, t, method=clip_model.emotion_probs)),
+                motion=jax.jit(mv.apply),
+            )
+        return jits
+
     def extract_features(self, video_path: str) -> Dict[str, np.ndarray]:
         """Video file -> feature dict (semantic, emotion, scene_offset,
         motion), each per-second, unpadded."""
-        from ..features.clip import (CLIP, clip_vit_l14_336_config,
-                                     preprocess_frames)
+        from ..features.clip import preprocess_frames
         from ..features import scene as scene_mod
-        from ..features.maxvit import (MaxViT, maxvit_t_config,
-                                       motion_diff_frames,
+        from ..features.maxvit import (motion_diff_frames,
                                        preprocess_diff_frames, scalar_motion)
 
         if self.clip_params is None or self.emotion_text_embeds is None:
@@ -171,23 +210,22 @@ class Video2music:
             video_path, MAX_SECONDS)
         n_sec = frames_1fps.shape[0]
 
-        clip_model = CLIP(cfg=clip_vit_l14_336_config())
-        pixels = jnp.asarray(preprocess_frames(frames_1fps))
+        jits = self._feature_jits
+        # frames are a BATCH dim for CLIP/MaxViT — pad to a 30-frame bucket
+        # and slice, so arbitrary clip durations reuse at most 10 compiled
+        # programs instead of one per distinct length
+        pixels = _pad_frame_bucket(
+            jnp.asarray(preprocess_frames(frames_1fps)))
         variables = {"params": self.clip_params}
-        semantic = np.asarray(jax.jit(
-            lambda v, p: clip_model.apply(v, p,
-                                          method=clip_model.encode_image)
-        )(variables, pixels))
-        emotion = np.asarray(jax.jit(
-            lambda v, p, t: clip_model.apply(v, p, t,
-                                             method=clip_model.emotion_probs)
-        )(variables, pixels, jnp.asarray(self.emotion_text_embeds)))
+        semantic = np.asarray(jits["semantic"](variables, pixels))[:n_sec]
+        emotion = np.asarray(jits["emotion"](
+            variables, pixels,
+            jnp.asarray(self.emotion_text_embeds)))[:n_sec]
 
         # scene ids over the full frame stream, then per-second offsets
-        import cv2
-        rgb_all = np.stack([cv2.cvtColor(f, cv2.COLOR_BGR2RGB)
-                            for f in frames_all])
-        cuts = scene_mod.detect_cuts(rgb_all)
+        # (frames stay BGR — the detector converts straight to HSV, same
+        # as scenedetect's cv2 path)
+        cuts = scene_mod.detect_cuts(frames_all, bgr=True)
         spans = scene_mod.scenes_from_cuts(cuts, len(frames_all), fps)
         ids = scene_mod.scene_ids_per_second(spans, n_sec)
         # +1 shift matches both the training loader and the reference's
@@ -202,10 +240,11 @@ class Video2music:
             diffs = motion_diff_frames(pairs)
             if self.maxvit_params is None:
                 raise ValueError("maxvit_params required for motion_type>=1")
-            mv = MaxViT(cfg=maxvit_t_config())
-            motion = np.asarray(jax.jit(mv.apply)(
+            n_pairs = len(diffs)
+            motion = np.asarray(jits["motion"](
                 {"params": self.maxvit_params},
-                jnp.asarray(preprocess_diff_frames(diffs))))
+                _pad_frame_bucket(
+                    jnp.asarray(preprocess_diff_frames(diffs)))))[:n_pairs]
         return {"semantic": semantic, "emotion": emotion,
                 "scene_offset": scene_offset, "motion": motion}
 
