@@ -276,3 +276,26 @@ def test_scene_detector_edge_frames_never_cut(rng):
     # 0.6.1 buffer logic (decision starts at the first full window)
     clip = _clip_hard_cuts(rng, T=30, cuts_at=(1,))
     assert detect_cuts(clip) == []
+
+
+def test_uint8_preprocess_matches_float_path(rng):
+    """Host resize/crop (uint8) + in-graph normalize == the one-shot float
+    preprocess — the H2D-lean serving path must be numerically identical."""
+    import jax.numpy as jnp
+    from video2music_tpu.features.clip import (normalize_pixels,
+                                               preprocess_frames,
+                                               resize_crop_frames)
+    from video2music_tpu.features.maxvit import (normalize_diff_pixels,
+                                                 preprocess_diff_frames,
+                                                 resize_crop_diff_frames)
+
+    frames = rng.integers(0, 256, (3, 50, 70, 3)).astype(np.uint8)
+    want = preprocess_frames(frames, image_size=32)
+    got = np.asarray(normalize_pixels(
+        jnp.asarray(resize_crop_frames(frames, image_size=32))))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    want_m = preprocess_diff_frames(frames, image_size=32)
+    got_m = np.asarray(normalize_diff_pixels(
+        jnp.asarray(resize_crop_diff_frames(frames, image_size=32))))
+    np.testing.assert_allclose(got_m, want_m, atol=1e-6)

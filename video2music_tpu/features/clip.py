@@ -193,15 +193,15 @@ class CLIP(nn.Module):
         return jax.nn.softmax(logits, axis=-1)
 
 
-def preprocess_frames(frames: np.ndarray, image_size: int = 336) -> np.ndarray:
-    """uint8 (B, H, W, 3) RGB -> normalized float32 (B, S, S, 3).
-
-    Reproduces the OpenAI preprocess: resize shorter side to S (bicubic),
-    center crop SxS, scale to [0,1], normalize with CLIP mean/std
-    (reference loads it via clip.load, video2music.py:151)."""
+def resize_crop_frames(frames: np.ndarray,
+                       image_size: int = 336) -> np.ndarray:
+    """uint8 (B, H, W, 3) RGB -> uint8 (B, S, S, 3): resize shorter side to
+    S (bicubic) + center crop, normalization deferred — ship these to the
+    device (4x less H2D than f32) and finish with
+    :func:`normalize_pixels` in-graph."""
     from PIL import Image
 
-    out = np.empty((frames.shape[0], image_size, image_size, 3), np.float32)
+    out = np.empty((frames.shape[0], image_size, image_size, 3), np.uint8)
     for i, frame in enumerate(frames):
         im = Image.fromarray(frame)
         w, h = im.size
@@ -211,8 +211,28 @@ def preprocess_frames(frames: np.ndarray, image_size: int = 336) -> np.ndarray:
         w, h = im.size
         left, top = (w - image_size) // 2, (h - image_size) // 2
         im = im.crop((left, top, left + image_size, top + image_size))
-        out[i] = np.asarray(im, np.float32) / 255.0
-    return (out - CLIP_MEAN) / CLIP_STD
+        out[i] = np.asarray(im, np.uint8)
+    return out
+
+
+def normalize_pixels(u8, mean=None, std=None):
+    """uint8 frames -> CLIP-normalized float (jnp, runs in-graph)."""
+    import jax.numpy as jnp
+
+    mean = CLIP_MEAN if mean is None else mean
+    std = CLIP_STD if std is None else std
+    x = u8.astype(jnp.float32) / 255.0
+    return (x - jnp.asarray(mean)) / jnp.asarray(std)
+
+
+def preprocess_frames(frames: np.ndarray, image_size: int = 336) -> np.ndarray:
+    """uint8 (B, H, W, 3) RGB -> normalized float32 (B, S, S, 3).
+
+    Reproduces the OpenAI preprocess: resize shorter side to S (bicubic),
+    center crop SxS, scale to [0,1], normalize with CLIP mean/std
+    (reference loads it via clip.load, video2music.py:151)."""
+    u8 = resize_crop_frames(frames, image_size)
+    return (u8.astype(np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
 
 
 # ---------------------------------------------------------------------------

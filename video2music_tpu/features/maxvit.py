@@ -230,14 +230,13 @@ class MaxViT(nn.Module):
         return feats
 
 
-def preprocess_diff_frames(frames: np.ndarray,
-                           image_size: int = 224) -> np.ndarray:
-    """uint8 RGB diff images -> ImageNet-normalized (B, 224, 224, 3)
-    (torchvision MaxVit_T_Weights.IMAGENET1K_V1.transforms: resize 224
-    bicubic + center crop + normalize)."""
+def resize_crop_diff_frames(frames: np.ndarray,
+                            image_size: int = 224) -> np.ndarray:
+    """uint8 RGB diff images -> uint8 (B, 224, 224, 3) (resize + crop only;
+    normalize on device via :func:`normalize_diff_pixels`)."""
     from PIL import Image
 
-    out = np.empty((frames.shape[0], image_size, image_size, 3), np.float32)
+    out = np.empty((frames.shape[0], image_size, image_size, 3), np.uint8)
     for i, frame in enumerate(frames):
         im = Image.fromarray(frame)
         w, h = im.size
@@ -247,8 +246,25 @@ def preprocess_diff_frames(frames: np.ndarray,
         w, h = im.size
         left, top = (w - image_size) // 2, (h - image_size) // 2
         im = im.crop((left, top, left + image_size, top + image_size))
-        out[i] = np.asarray(im, np.float32) / 255.0
-    return (out - IMAGENET_MEAN) / IMAGENET_STD
+        out[i] = np.asarray(im, np.uint8)
+    return out
+
+
+def normalize_diff_pixels(u8):
+    """uint8 diff frames -> ImageNet-normalized float (jnp, in-graph)."""
+    import jax.numpy as jnp
+
+    x = u8.astype(jnp.float32) / 255.0
+    return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+
+
+def preprocess_diff_frames(frames: np.ndarray,
+                           image_size: int = 224) -> np.ndarray:
+    """uint8 RGB diff images -> ImageNet-normalized (B, 224, 224, 3)
+    (torchvision MaxVit_T_Weights.IMAGENET1K_V1.transforms: resize 224
+    bicubic + center crop + normalize)."""
+    u8 = resize_crop_diff_frames(frames, image_size)
+    return (u8.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
 
 
 def motion_diff_frames(frame_pairs: list) -> np.ndarray:

@@ -133,12 +133,15 @@ class Video2music:
                                         total_vf_dim=768 + 6,
                                         **(reg_overrides or {}))
         self.model_reg = VideoRegression(cfg=self.reg_cfg)
-        # Pin extractor weights to the default (accelerator) device ONCE.
-        # Host-committed params (e.g. converted checkpoints loaded on CPU)
-        # would otherwise re-upload ~1.3 GB through the device link on
-        # EVERY extract_features call — measured ~20 min/call through the
-        # remote-TPU tunnel before this.
-        put = lambda t: None if t is None else jax.device_put(t)
+        # Pin extractor weights to the accelerator ONCE, with an EXPLICIT
+        # device: CPU-committed params (e.g. checkpoints loaded/converted
+        # on host) would otherwise pin the jitted extractors to the CPU
+        # backend — jax.device_put without a device target does NOT move a
+        # committed array, and jit follows committed inputs (measured: the
+        # whole CLIP forward silently ran on CPU at ~16 GFLOP/s,
+        # ~950 s/clip, instead of on the TPU).
+        dev = jax.devices()[0]
+        put = lambda t: None if t is None else jax.device_put(t, dev)
         self.clip_params = put(clip_params)
         self.emotion_text_embeds = emotion_text_embeds
         self.maxvit_params = put(maxvit_params)
@@ -179,27 +182,35 @@ class Video2music:
         of recompiles per warm extract_features call on v5e without this)."""
         jits = getattr(self, "_feature_jits_cache", None)
         if jits is None:
-            from ..features.clip import CLIP, clip_vit_l14_336_config
-            from ..features.maxvit import MaxViT, maxvit_t_config
+            from ..features.clip import (CLIP, clip_vit_l14_336_config,
+                                         normalize_pixels)
+            from ..features.maxvit import (MaxViT, maxvit_t_config,
+                                           normalize_diff_pixels)
 
             clip_model = CLIP(cfg=clip_vit_l14_336_config())
             mv = MaxViT(cfg=maxvit_t_config())
+            # inputs arrive uint8 and normalize IN-GRAPH: 4x less H2D
+            # traffic than shipping f32 pixels
             jits = self._feature_jits_cache = dict(
-                semantic=jax.jit(lambda v, p: clip_model.apply(
-                    v, p, method=clip_model.encode_image)),
-                emotion=jax.jit(lambda v, p, t: clip_model.apply(
-                    v, p, t, method=clip_model.emotion_probs)),
-                motion=jax.jit(mv.apply),
+                semantic=jax.jit(lambda v, p8: clip_model.apply(
+                    v, normalize_pixels(p8),
+                    method=clip_model.encode_image)),
+                emotion=jax.jit(lambda v, p8, t: clip_model.apply(
+                    v, normalize_pixels(p8), t,
+                    method=clip_model.emotion_probs)),
+                motion=jax.jit(lambda v, p8: mv.apply(
+                    v, normalize_diff_pixels(p8))),
             )
         return jits
 
     def extract_features(self, video_path: str) -> Dict[str, np.ndarray]:
         """Video file -> feature dict (semantic, emotion, scene_offset,
         motion), each per-second, unpadded."""
-        from ..features.clip import preprocess_frames
+        from ..features.clip import resize_crop_frames
         from ..features import scene as scene_mod
         from ..features.maxvit import (motion_diff_frames,
-                                       preprocess_diff_frames, scalar_motion)
+                                       resize_crop_diff_frames,
+                                       scalar_motion)
 
         if self.clip_params is None or self.emotion_text_embeds is None:
             raise ValueError(
@@ -215,7 +226,7 @@ class Video2music:
         # and slice, so arbitrary clip durations reuse at most 10 compiled
         # programs instead of one per distinct length
         pixels = _pad_frame_bucket(
-            jnp.asarray(preprocess_frames(frames_1fps)))
+            jnp.asarray(resize_crop_frames(frames_1fps)))
         variables = {"params": self.clip_params}
         semantic = np.asarray(jits["semantic"](variables, pixels))[:n_sec]
         emotion = np.asarray(jits["emotion"](
@@ -244,7 +255,7 @@ class Video2music:
             motion = np.asarray(jits["motion"](
                 {"params": self.maxvit_params},
                 _pad_frame_bucket(
-                    jnp.asarray(preprocess_diff_frames(diffs)))))[:n_pairs]
+                    jnp.asarray(resize_crop_diff_frames(diffs)))))[:n_pairs]
         return {"semantic": semantic, "emotion": emotion,
                 "scene_offset": scene_offset, "motion": motion}
 
