@@ -121,3 +121,38 @@ def test_generate_is_jittable(rng):
     out1 = fn(variables, feats, jax.random.PRNGKey(3))
     out2 = fn(variables, feats, jax.random.PRNGKey(3))
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_traced_temperature_matches_static(rng):
+    """temperature passed as a TRACED array must sample identically to the
+    same value baked statically into GenerateConfig (same rng), so the
+    serving path can reuse one compiled program across temperatures."""
+    cfg = amt_config(None, **TINY)
+    model = VideoMusicTransformer(cfg)
+    feats = _features(rng, B=2)
+    primer = jnp.asarray([[1, 5], [2, 7]])
+    root_tab, attr_tab = chord_to_root_attr_tables()
+    pr = jnp.asarray(root_tab)[primer]
+    pa = jnp.asarray(attr_tab)[primer]
+    variables = model.init(
+        jax.random.PRNGKey(0), primer, pr, pa, feats["semantic"],
+        feats["key"], feats["scene_offset"], feats["motion"],
+        feats["emotion"])
+    common = dict(primer=primer, primer_root=pr, primer_attr=pa,
+                  num_primer=2, rng=jax.random.PRNGKey(11))
+    static = generate_chords(
+        model, variables, **feats, **common,
+        gcfg=GenerateConfig(target_seq_length=12, temperature=0.5))
+    traced = generate_chords(
+        model, variables, **feats, **common,
+        gcfg=GenerateConfig(target_seq_length=12),
+        temperature=jnp.asarray([[0.5], [0.5]]))
+    np.testing.assert_array_equal(np.asarray(static["gen_seq"]),
+                                  np.asarray(traced["gen_seq"]))
+    # and per-element temperatures actually differ in effect
+    hot = generate_chords(
+        model, variables, **feats, **common,
+        gcfg=GenerateConfig(target_seq_length=12),
+        temperature=jnp.asarray([[0.5], [50.0]]))
+    np.testing.assert_array_equal(np.asarray(hot["gen_seq"][0]),
+                                  np.asarray(traced["gen_seq"][0]))

@@ -53,7 +53,11 @@ def test_dynamic_batcher_coalesces(tiny_v2m, tmp_path):
         batcher.stop()
 
 
-def test_dynamic_batcher_groups_by_temperature(tiny_v2m, tmp_path):
+def test_dynamic_batcher_mixes_temperatures(tiny_v2m, tmp_path):
+    """Different temperatures share ONE batched program — temperature is a
+    per-element traced input, not a compile-time constant (a per-value jit
+    cache would be a compile-churn DoS vector at the serving boundary)."""
+    n_cached = len(getattr(tiny_v2m, "_gen_cache", {}))
     batcher = DynamicBatcher(tiny_v2m, max_batch=8, max_wait_ms=500,
                              output_dir=str(tmp_path))
     try:
@@ -63,8 +67,60 @@ def test_dynamic_batcher_groups_by_temperature(tiny_v2m, tmp_path):
                             temperature=0.5)
         (r1, w1), (r2, w2) = f1.result(600), f2.result(600)
         assert len(r1.chords) == 10 and len(r2.chords) == 10
-        assert w1 == 1 and w2 == 1  # split into two width-1 programs
-        assert batcher.stats["batches"] == 2
+        assert w1 == 2 and w2 == 2  # ONE width-2 program, not two splits
+        assert batcher.stats["batches"] == 1
+        # novel temperatures must not have minted new compiled programs
+        f3 = batcher.submit(dict(features=_feats(10, 2), primer="C"),
+                            temperature=0.77)
+        f3.result(600)
+        assert len(tiny_v2m._gen_cache) <= n_cached + 2  # per-width only
+    finally:
+        batcher.stop()
+
+
+def test_pad_clones_skip_host_render(tiny_v2m, tmp_path):
+    """Bucket-padding clones decode on-device but must NOT run the
+    host-side MIDI/audio render into the shared _pad dir."""
+    import os
+
+    batcher = DynamicBatcher(tiny_v2m, max_batch=8, max_wait_ms=300,
+                             output_dir=str(tmp_path))
+    try:
+        futs = [batcher.submit(
+            dict(features=_feats(8 + i, i), primer="C"))
+            for i in range(3)]  # 3 requests -> width-4 bucket, 1 pad clone
+        for f in futs:
+            f.result(600)
+        pad_dir = os.path.join(str(tmp_path), "_pad")
+        assert not os.path.exists(pad_dir) or not os.listdir(pad_dir)
+    finally:
+        batcher.stop()
+
+
+def test_batcher_worker_survives_gather_stage_bug(tiny_v2m, tmp_path):
+    """An exception OUTSIDE generate_batch (e.g. in batch assembly) must
+    fail the group's futures and leave the worker alive — not kill the
+    daemon thread and strand every later submit."""
+    batcher = DynamicBatcher(tiny_v2m, max_batch=4, max_wait_ms=10,
+                             output_dir=str(tmp_path))
+    real_run_batch = batcher._run_batch
+    calls = {"n": 0}
+
+    def exploding(items):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("synthetic worker-stage bug")
+        return real_run_batch(items)
+
+    batcher._run_batch = exploding
+    try:
+        bad = batcher.submit(dict(features=_feats(8, 0), primer="C"))
+        with pytest.raises(RuntimeError, match="synthetic"):
+            bad.result(timeout=120)
+        ok = batcher.submit(dict(features=_feats(8, 1), primer="C"))
+        res, _ = ok.result(timeout=600)
+        assert len(res.chords) == 8
+        assert batcher._worker.is_alive()
     finally:
         batcher.stop()
 

@@ -47,10 +47,19 @@ class GenerateConfig:
     max_conseq_chord: int = 2
 
 
-def _sample_next(rng, logits, gen_seq, pos, gcfg: GenerateConfig):
-    """Sample the token for position pos+1 given logits at pos."""
+def _sample_next(rng, logits, gen_seq, pos, gcfg: GenerateConfig,
+                 temperature):
+    """Sample the token for position pos+1 given logits at pos.
+
+    ``temperature`` is a TRACED (B, 1) f32 array, not a compile-time
+    constant: it only divides logits, so baking it into the program (as a
+    ``GenerateConfig`` field keying the jit cache) would force a full XLA
+    recompile per distinct user-supplied float — a compile-churn DoS
+    vector at the serving boundary. Per-element values also let the
+    dynamic batcher coalesce requests with different temperatures into
+    one program."""
     probs = jax.nn.softmax(
-        logits.astype(jnp.float32) / gcfg.temperature, axis=-1)
+        logits.astype(jnp.float32) / temperature, axis=-1)
     probs = probs[..., :C.CHORD_END]  # (B, 157)
     if gcfg.max_conseq_N == 0:
         probs = probs.at[..., 0].set(0.0)
@@ -69,8 +78,8 @@ def _sample_next(rng, logits, gen_seq, pos, gcfg: GenerateConfig):
 def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
                     emotion, primer, primer_root, primer_attr, num_primer,
                     rng, gcfg: GenerateConfig = GenerateConfig(),
-                    fused: str = "auto", interpret: bool = False,
-                    quantize: str = None):
+                    temperature=None, fused: str = "auto",
+                    interpret: bool = False, quantize: str = None):
     """Generate a (B, target_seq_length) chord-id sequence.
 
     Args:
@@ -85,6 +94,11 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
         lengths (batched serving: clips with different primers share one
         compiled decode program).
       rng: jax PRNG key.
+      temperature: sampling temperature as a TRACED value — a python
+        float / scalar array (uniform batch) or a (B,)/(B, 1) array
+        (per-element, for batched serving). ``None`` falls back to
+        ``gcfg.temperature``; prefer passing it here so the compiled
+        program is temperature-agnostic (no recompile per value).
       fused: "auto" (fused Pallas decode-layer kernels on TPU when the
         config is eligible), "on" (force, e.g. with interpret=True on CPU)
         or "off".
@@ -113,6 +127,10 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
     # one code path (broadcasts over positions)
     num_primer = jnp.broadcast_to(
         jnp.asarray(num_primer, jnp.int32).reshape(-1, 1), (B, 1))
+    if temperature is None:
+        temperature = gcfg.temperature
+    temperature = jnp.broadcast_to(
+        jnp.asarray(temperature, jnp.float32).reshape(-1, 1), (B, 1))
 
     gen_seq = jnp.full((B, T), C.CHORD_PAD, jnp.int32)
     gen_root = jnp.full((B, T), C.CHORD_ROOT_PAD, jnp.int32)
@@ -179,7 +197,8 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
         logits, cache = step_logits(cache, token, token_root, token_attr,
                                     key, pos)
         rng, sub = jax.random.split(rng)
-        nxt = _sample_next(sub, logits, gen_seq, pos, gcfg).astype(jnp.int32)
+        nxt = _sample_next(sub, logits, gen_seq, pos, gcfg,
+                           temperature).astype(jnp.int32)
         # keep primer tokens where pos+1 is still inside the primer
         keep = pos + 1 < num_primer[:, 0]  # (B,)
         cur = jax.lax.dynamic_slice_in_dim(gen_seq, pos + 1, 1, axis=1)[:, 0]

@@ -44,7 +44,13 @@ def _seq_shard(x, cfg: AMTConfig):
         # constraint would be meaningless anyway, skip it
         return x
     from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
-    axis = dict(mesh.shape).get(MODEL_AXIS, 1)
+    shape = dict(mesh.shape)
+    if MODEL_AXIS not in shape or DATA_AXIS not in shape:
+        # mesh with foreign axis names (user set_mesh outside
+        # parallel.mesh) — the P("data", "model", None) constraint would
+        # raise an unbound-axis trace error, so stay unconstrained
+        return x
+    axis = shape[MODEL_AXIS]
     if x.shape[1] % axis:
         # sequence not divisible by the model axis (the AMT chord stream
         # is 299 = max_seq_chord - 1, odd) — stay on plain TP there; the

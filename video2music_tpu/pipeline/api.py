@@ -293,8 +293,12 @@ class Video2music:
 
         emotion = smooth_emotion(emotion)
 
-        gcfg = GenerateConfig(target_seq_length=L, temperature=temperature,
-                              max_conseq_N=0, max_conseq_chord=2)
+        # temperature is a TRACED argument of the compiled program, not a
+        # GenerateConfig field: it only divides logits, and baking it into
+        # the jit cache key would recompile per distinct float (minutes on
+        # the real TPU) and grow the cache without bound.
+        gcfg = GenerateConfig(target_seq_length=L, max_conseq_N=0,
+                              max_conseq_chord=2)
         P = len(primer_ids)
         pad_primer = lambda a, pad: np.concatenate(
             [a, np.full(L - len(a), pad, np.int32)])[None]
@@ -321,6 +325,7 @@ class Video2music:
                      pad_primer(primer_roots, C.CHORD_ROOT_PAD)),
                  primer_attr=jnp.asarray(
                      pad_primer(primer_attrs, C.CHORD_ATTR_PAD))),
+            jnp.asarray([[temperature]], jnp.float32),
             jax.random.PRNGKey(seed))
 
         return self._postprocess(
@@ -426,30 +431,40 @@ class Video2music:
             instruments=inst_bin, key=key)
 
     def generate_batch(self, requests, *, output_dir: str = "./output",
-                       temperature: float = 1.0, seed: int = 0,
+                       temperature=1.0, seed: int = 0,
                        correct_panning: bool = False,
                        compute_dtype: str = "bfloat16",
-                       quantize: Optional[str] = None):
+                       quantize: Optional[str] = None,
+                       n_real: Optional[int] = None):
         """Batched serving: decode B clips in ONE compiled program.
 
         The per-token decode step is latency-bound at B=1 (the kernels'
         serial compute, not bandwidth), so rows are nearly free: measured
         on TPU v5e, B=64 sustains ~37k tok/s aggregate (~8 ms/clip) vs
         ~11k tok/s for pipelined B=1 calls. Clips with different primers
-        share the program via per-element primer lengths; temperature is
-        shared per batch (group requests by temperature).
+        and temperatures share the program: primer lengths and the
+        sampling temperature are per-element traced inputs, not part of
+        the compiled program.
 
         Args:
           requests: list of dicts — ``features`` (required, the
             ``extract_features`` dict), optional ``primer``, ``key``,
             ``transposition_value``, ``video``, ``sound_font``,
             ``caption_overlays``, ``output_dir``.
+          temperature: one float for the whole batch, or a sequence of
+            per-request floats (len == len(requests)).
+          n_real: if set, only the first ``n_real`` requests are real —
+            the rest are shape-padding clones (the DynamicBatcher's
+            bucketing); they decode on-device but skip the host-side
+            MIDI/audio render, and only ``n_real`` results are returned.
         Returns:
-          list of GenerateResult, one per request (host-side MIDI/audio
-          rendering runs per clip, as in generate()).
+          list of GenerateResult, one per (real) request (host-side
+          MIDI/audio rendering runs per clip, as in generate()).
         """
         if not requests:
             return []
+        if n_real is None:
+            n_real = len(requests)
         L = MAX_SECONDS
         prepped = []
         for i, req in enumerate(requests):
@@ -472,8 +487,15 @@ class Video2music:
                 out_dir=req.get("output_dir",
                                 os.path.join(output_dir, f"clip_{i:03d}"))))
 
-        gcfg = GenerateConfig(target_seq_length=L, temperature=temperature,
-                              max_conseq_N=0, max_conseq_chord=2)
+        gcfg = GenerateConfig(target_seq_length=L, max_conseq_N=0,
+                              max_conseq_chord=2)
+        temps = np.asarray(temperature, np.float32).reshape(-1)
+        if temps.shape[0] == 1:
+            temps = np.repeat(temps, len(requests))
+        if temps.shape[0] != len(requests):
+            raise ValueError(
+                f"temperature: expected 1 or {len(requests)} values, got "
+                f"{temps.shape[0]}")
         pad_primer = lambda a, pad: np.concatenate(
             [np.asarray(a, np.int32), np.full(L - len(a), pad, np.int32)])
         variables, reg_variables = self.variables, self.reg_variables
@@ -510,13 +532,15 @@ class Video2music:
         ck = ("batch", gcfg, quantize)
         if ck not in cache:
             cache[ck] = jax.jit(
-                lambda v, rv, feats, np_, rng: self._generate_jit(
-                    v, rv, feats, rng, gcfg, np_, quantize))
+                lambda v, rv, feats, np_, temp, rng: self._generate_jit(
+                    v, rv, feats, rng, gcfg, np_, quantize,
+                    temperature=temp))
         out = cache[ck](variables, reg_variables, feats, num_primer,
-                        jax.random.PRNGKey(seed))
+                        jnp.asarray(temps[:, None]), jax.random.PRNGKey(seed))
 
         results = []
-        for i, (req, p) in enumerate(zip(requests, prepped)):
+        for i, (req, p) in enumerate(zip(requests[:n_real],
+                                         prepped[:n_real])):
             results.append(self._postprocess(
                 np.asarray(out["gen_seq"][i]),
                 np.asarray(out["ln_nd"][i], np.float32),
@@ -540,12 +564,13 @@ class Video2music:
         key = (gcfg, num_primer, quantize)
         if key not in cache:
             cache[key] = jax.jit(
-                lambda v, rv, feats, rng: self._generate_jit(
-                    v, rv, feats, rng, gcfg, num_primer, quantize))
+                lambda v, rv, feats, temp, rng: self._generate_jit(
+                    v, rv, feats, rng, gcfg, num_primer, quantize,
+                    temperature=temp))
         return cache[key]
 
     def _generate_jit(self, variables, reg_variables, feats, rng, gcfg,
-                      num_primer, quantize=None):
+                      num_primer, quantize=None, temperature=None):
         """One traced program: chord decode + regression forward."""
         out = generate_chords(
             self.model, variables, semantic=feats["semantic"],
@@ -553,7 +578,7 @@ class Video2music:
             motion=feats["motion"], emotion=feats["emotion"],
             primer=feats["primer"], primer_root=feats["primer_root"],
             primer_attr=feats["primer_attr"], num_primer=num_primer,
-            rng=rng, gcfg=gcfg, quantize=quantize)
+            rng=rng, gcfg=gcfg, temperature=temperature, quantize=quantize)
         (ln_nd, inst), _ = self.model_reg.apply(
             reg_variables, feats["semantic"], feats["scene_offset"],
             feats["motion"], feats["emotion"], deterministic=True,

@@ -11,10 +11,11 @@ coalescing layer:
 
   * requests enter a queue and a worker thread gathers them for up to
     ``max_wait_ms`` (or until ``max_batch``);
-  * a gathered group is split by temperature (the sampler temperature is
-    per-program) and padded up to a power-of-two bucket so the number of
-    distinct compiled programs stays bounded (pad clones render into a
-    scratch dir and are dropped);
+  * a gathered group runs as ONE program regardless of per-request
+    temperatures (the sampler temperature is a per-element traced input,
+    not a compile-time constant), padded up to a power-of-two bucket so
+    the number of distinct compiled programs stays bounded (pad clones
+    decode on-device but skip the host-side render via ``n_real``);
   * each caller gets a Future resolving to its ``GenerateResult``.
 
 Use via :class:`DynamicBatcher` directly, or the HTTP frontend in
@@ -131,27 +132,36 @@ class DynamicBatcher:
 
     def _run(self) -> None:
         while not self._stop.is_set():
-            group = self._gather()
-            if not group:
-                continue
-            by_temp: Dict[float, List[_Pending]] = {}
-            for item in group:
-                by_temp.setdefault(item.temperature, []).append(item)
-            for temp, items in by_temp.items():
-                self._run_batch(temp, items)
+            group: List[_Pending] = []
+            try:
+                group = self._gather()
+                if not group:
+                    continue
+                self._run_batch(group)
+            except Exception as exc:  # noqa: BLE001 — the worker thread
+                # must survive ANY bug in gathering/batching: a dead
+                # daemon thread would leave every future unresolved and
+                # every submit() blocking forever. Fail the group loudly
+                # and keep serving.
+                for it in group:
+                    if not it.future.done():
+                        it.future.set_exception(exc)
 
-    def _run_batch(self, temperature: float, items: List[_Pending]) -> None:
+    def _run_batch(self, items: List[_Pending]) -> None:
         n = len(items)
         bucket = next(b for b in self.buckets if b >= n)
         requests = [it.request for it in items]
-        # pad clones keep program shapes bucketed; they render into a
-        # scratch dir and their results are dropped
+        temps = [it.temperature for it in items]
+        # pad clones keep program shapes bucketed; n_real tells
+        # generate_batch to decode them on-device but skip their host-side
+        # MIDI/audio render entirely
         pad = dict(items[-1].request,
                    output_dir=os.path.join(self.output_dir, "_pad"))
         requests = requests + [pad] * (bucket - n)
+        temps = temps + [temps[-1]] * (bucket - n)
         try:
             results = self.v2m.generate_batch(
-                requests, temperature=temperature,
+                requests, temperature=temps, n_real=n,
                 output_dir=self.output_dir, **self.generate_kwargs)
         except Exception as exc:  # surface to every caller in the batch
             for it in items:
@@ -162,5 +172,5 @@ class DynamicBatcher:
             self.stats["batched_requests"] += n
             self.stats["max_batch_size"] = max(self.stats["max_batch_size"],
                                                n)
-        for it, res in zip(items, results[:n]):
+        for it, res in zip(items, results):
             it.future.set_result((res, bucket))
