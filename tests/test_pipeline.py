@@ -245,3 +245,61 @@ def test_pad_frame_bucket_shapes():
     assert float(np.abs(np.asarray(out[61:])).sum()) == 0.0
     assert _pad_frame_bucket(jnp.ones((30, 4))).shape[0] == 30
     assert _pad_frame_bucket(jnp.ones((291, 4))).shape[0] == 300
+
+
+def _write_clip(path, seconds=6, fps=5.0, w=64, h=48, n_scenes=3):
+    """Small multi-scene clip via cv2 (no ffmpeg in this environment)."""
+    cv2 = pytest.importorskip("cv2")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                             (w, h))
+    if not writer.isOpened():
+        pytest.skip("cv2.VideoWriter cannot encode here")
+    n = int(seconds * fps)
+    rng = np.random.default_rng(3)
+    colors = rng.integers(0, 255, (n_scenes, 3))
+    for i in range(n):
+        scene = min(i * n_scenes // n, n_scenes - 1)
+        img = np.empty((h, w, 3), np.uint8)
+        img[:] = colors[scene]
+        img[:, : (i * 7) % w] //= 2  # motion within the scene
+        writer.write(img)
+    writer.release()
+
+
+def test_stream_clip_matches_legacy_pass(tmp_path):
+    """The single-pass streaming reader must reproduce read_frames +
+    second_boundary_pairs + content_scores EXACTLY — same 1fps frame
+    selection, same boundary pairs, same scene scores (it replaced them
+    on the product path for performance, not semantics)."""
+    from video2music_tpu.features.scene import content_scores
+    from video2music_tpu.pipeline import video_io
+
+    path = os.path.join(str(tmp_path), "clip.mp4")
+    _write_clip(path, seconds=6, fps=5.0)
+
+    frames_1fps, frames_all, fps, duration = video_io.read_frames(path, 300)
+    pairs_ref = video_io.second_boundary_pairs(frames_all, fps)
+    scores_ref = content_scores(frames_all, bgr=True)
+
+    s = video_io.stream_clip(path, 300)
+    assert s["fps"] == fps and s["duration"] == duration
+    assert s["n_frames_capped"] == len(frames_all)
+    np.testing.assert_array_equal(s["frames_1fps"], frames_1fps)
+    assert len(s["pairs"]) == len(pairs_ref)
+    for (p1, c1), (p2, c2) in zip(s["pairs"], pairs_ref):
+        np.testing.assert_array_equal(p1, p2)
+        np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_allclose(s["scores"], scores_ref)
+
+
+def test_stream_clip_respects_max_seconds(tmp_path):
+    from video2music_tpu.pipeline import video_io
+
+    path = os.path.join(str(tmp_path), "clip.mp4")
+    _write_clip(path, seconds=8, fps=5.0)
+    frames_1fps, frames_all, fps, _ = video_io.read_frames(path, 4)
+    s = video_io.stream_clip(path, 4)
+    assert s["n_frames_capped"] == len(frames_all) == 20
+    assert s["n_frames"] == 40  # duration still counts the whole clip
+    np.testing.assert_array_equal(s["frames_1fps"], frames_1fps)
+    assert len(s["scores"]) == 20

@@ -120,10 +120,12 @@ def main():
                            output_dir=os.path.join(args.out, f"run{r}"))
         t_gen = time.perf_counter() - t0
         tag = "cold (incl. compile)" if r == 0 else "warm"
+        stages = "  ".join(f"{k}={v:.2f}" for k, v in
+                           getattr(v2m, "last_extract_timings", {}).items())
         print(f"run {r} [{tag}]: features {t_feat:.2f}s + "
               f"generate+render {t_gen:.2f}s = {t_feat + t_gen:.2f}s "
-              f"({len(res.chords)} chords, midi={res.midi_path})",
-              flush=True)
+              f"({len(res.chords)} chords, midi={res.midi_path})\n"
+              f"  feature stages: {stages}", flush=True)
 
 
 if __name__ == "__main__":

@@ -230,10 +230,16 @@ class MaxViT(nn.Module):
         return feats
 
 
-def resize_crop_diff_frames(frames: np.ndarray,
-                            image_size: int = 224) -> np.ndarray:
+def resize_crop_diff_frames(frames: np.ndarray, image_size: int = 224,
+                            backend: str = "pil") -> np.ndarray:
     """uint8 RGB diff images -> uint8 (B, 224, 224, 3) (resize + crop only;
-    normalize on device via :func:`normalize_diff_pixels`)."""
+    normalize on device via :func:`normalize_diff_pixels`).
+
+    backend: "pil" = reference-exact (torchvision transforms on PIL);
+    "cv2" = serving fast path (see features.clip.resize_crop_frames)."""
+    if backend == "cv2":
+        from .clip import _resize_crop_cv2
+        return _resize_crop_cv2(frames, image_size)
     from PIL import Image
 
     out = np.empty((frames.shape[0], image_size, image_size, 3), np.uint8)

@@ -37,7 +37,7 @@ seconds-since-cut offsets (video2music.py:239-265).
 from __future__ import annotations
 
 import math
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -83,45 +83,71 @@ def auto_downscale(frames, target_width: int = 256):
     return [f[::factor, ::factor] for f in frames]
 
 
-def content_scores(frames, downscale: bool = True,
-                   bgr: bool = False) -> np.ndarray:
-    """Per-frame HSV content score; score[0] = 0 (no previous frame).
-    ``frames``: (T, H, W, 3) array or sequence of (H, W, 3) frames.
+class ContentScorer:
+    """Incremental per-frame content scorer for streaming decode.
 
-    Fast path: cv2's SIMD uint8 HSV conversion + absdiff, one frame at a
-    time (bounded memory; measured ~150x over the whole-clip numpy-float
-    HSV pass, which took ~6 min for a 1-minute 24fps clip and dominated
-    the e2e pipeline). This is also the MORE parity-faithful path:
-    scenedetect 0.6.1 itself scores cv2's integer HSV planes. The numpy
-    float conversion stays as the no-cv2 fallback.
+    Feed frames one at a time with :meth:`update` (e.g. straight out of
+    the video decoder — ``pipeline.video_io.stream_clip`` does this so the
+    full clip is never materialized), read :meth:`scores` at the end.
+    Identical math to :func:`content_scores`, which is now a thin loop
+    over this class.
+
+    Fast path: cv2's SIMD uint8 HSV conversion + absdiff (the same
+    integer HSV planes scenedetect 0.6.1 itself scores — measured ~150x
+    over the whole-clip numpy-float pass). Numpy float conversion is the
+    no-cv2 fallback.
     """
-    if downscale:
-        frames = auto_downscale(frames)
-    try:
-        import cv2
-    except ImportError:
-        cv2 = None
-    first = frames[0] if len(frames) else None
-    if cv2 is not None and first is not None and first.dtype == np.uint8:
-        code = cv2.COLOR_BGR2HSV if bgr else cv2.COLOR_RGB2HSV
-        scores = np.zeros(len(frames))
-        prev = None
-        for i, frame in enumerate(frames):
+
+    def __init__(self, *, bgr: bool = False, downscale: bool = True,
+                 target_width: int = 256):
+        self.bgr = bgr
+        self.downscale = downscale
+        self.target_width = target_width
+        self._factor: Optional[int] = None
+        self._prev = None
+        self._scores: List[float] = [ ]
+        try:
+            import cv2
+            self._cv2 = cv2
+        except ImportError:
+            self._cv2 = None
+
+    def update(self, frame: np.ndarray) -> None:
+        if self._factor is None:
+            self._factor = (max(1, frame.shape[1] // self.target_width)
+                            if self.downscale else 1)
+        if self._factor > 1:
+            frame = frame[::self._factor, ::self._factor]
+        cv2 = self._cv2
+        if cv2 is not None and frame.dtype == np.uint8:
+            code = cv2.COLOR_BGR2HSV if self.bgr else cv2.COLOR_RGB2HSV
             # scenedetect 0.6.1 quirk preserved: plain |dH| on the 0..179
             # hue channel, no wraparound (cv2 absdiff of the H plane)
             hsv = cv2.cvtColor(np.ascontiguousarray(frame), code)
-            if prev is not None:
-                scores[i] = float(np.mean(cv2.absdiff(hsv, prev)))
-            prev = hsv
-        return scores
-    frames = np.asarray(frames)
-    hsv = _rgb_to_hsv_arrays(frames[..., ::-1] if bgr else frames)
-    # scenedetect 0.6.1 quirk: plain |dH| on the 0..179 hue channel, no
-    # wraparound (content_detector._mean_pixel_distance)
-    deltas = np.abs(hsv[1:] - hsv[:-1])
-    per_channel = deltas.mean(axis=(1, 2))  # (T-1, 3)
-    scores = per_channel.mean(axis=-1)
-    return np.concatenate([[0.0], scores])
+            self._scores.append(
+                0.0 if self._prev is None
+                else float(np.mean(cv2.absdiff(hsv, self._prev))))
+        else:
+            rgb = frame[..., ::-1] if self.bgr else frame
+            hsv = _rgb_to_hsv_arrays(np.asarray(rgb)[None])[0]
+            # same 0.6.1 no-wraparound quirk on the float path
+            self._scores.append(
+                0.0 if self._prev is None
+                else float(np.mean(np.abs(hsv - self._prev))))
+        self._prev = hsv
+
+    def scores(self) -> np.ndarray:
+        return np.asarray(self._scores)
+
+
+def content_scores(frames, downscale: bool = True,
+                   bgr: bool = False) -> np.ndarray:
+    """Per-frame HSV content score; score[0] = 0 (no previous frame).
+    ``frames``: (T, H, W, 3) array or sequence of (H, W, 3) frames."""
+    scorer = ContentScorer(bgr=bgr, downscale=downscale)
+    for frame in frames:
+        scorer.update(np.asarray(frame))
+    return scorer.scores()
 
 
 def adaptive_ratios(scores: np.ndarray, window_width: int = 2,
@@ -147,13 +173,19 @@ def adaptive_ratios(scores: np.ndarray, window_width: int = 2,
     return ratios
 
 
-def detect_cuts(frames, *, adaptive_threshold: float = 3.0,
+def detect_cuts(frames=None, *, adaptive_threshold: float = 3.0,
                 min_scene_len: int = 15, window_width: int = 2,
-                min_content_val: float = 15.0,
-                bgr: bool = False) -> List[int]:
+                min_content_val: float = 15.0, bgr: bool = False,
+                scores: Optional[np.ndarray] = None) -> List[int]:
     """Frame indices where new scenes start (excluding frame 0) —
-    scenedetect 0.6.1 AdaptiveDetector semantics (see module docstring)."""
-    scores = content_scores(frames, bgr=bgr)
+    scenedetect 0.6.1 AdaptiveDetector semantics (see module docstring).
+
+    Pass either ``frames`` or precomputed per-frame ``scores`` (e.g. from
+    a :class:`ContentScorer` fed during streaming decode)."""
+    if scores is None:
+        if frames is None:
+            raise ValueError("need frames or scores")
+        scores = content_scores(frames, bgr=bgr)
     ratios = adaptive_ratios(scores, window_width, min_content_val)
     candidates = np.flatnonzero(
         (ratios >= adaptive_threshold) & (scores >= min_content_val))

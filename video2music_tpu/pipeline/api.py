@@ -122,8 +122,14 @@ class Video2music:
                  clip_params=None, emotion_text_embeds=None,
                  maxvit_params=None, seed: int = 0,
                  amt_overrides: Optional[dict] = None,
-                 reg_overrides: Optional[dict] = None):
+                 reg_overrides: Optional[dict] = None,
+                 extractor_dtype: str = "bfloat16",
+                 resize_backend: str = "cv2"):
         self.motion_type = motion_type
+        self.extractor_dtype = extractor_dtype
+        # "cv2" = SIMD resize (serving default, ~10x faster per frame on
+        # 1-core hosts); "pil" = bit-exact reference preprocessing
+        self.resize_backend = resize_backend
         motion_dim = {0: 1, 1: 512, 2: 768}[motion_type]
         total_vf = 768 + 1 + motion_dim + 6  # reference: video2music.py:609
         self.amt_cfg = amt_config(music_gen_version, total_vf_dim=total_vf,
@@ -140,11 +146,24 @@ class Video2music:
         # committed array, and jit follows committed inputs (measured: the
         # whole CLIP forward silently ran on CPU at ~16 GFLOP/s,
         # ~950 s/clip, instead of on the TPU).
+        # Extractor weights are cast to ``extractor_dtype`` here (default
+        # bf16: full-rate MXU matmuls, half the resident weight HBM; pass
+        # "float32" for bit-parity with the torch reference). The pixel
+        # path casts to match in-graph — f32 inputs would silently promote
+        # bf16 kernels back to f32 (see CLAUDE.md).
         dev = jax.devices()[0]
-        put = lambda t: None if t is None else jax.device_put(t, dev)
-        self.clip_params = put(clip_params)
+        ex_dt = jnp.bfloat16 if extractor_dtype == "bfloat16" \
+            else jnp.float32
+        self._extractor_jnp_dtype = ex_dt
+        cast_put = lambda t: None if t is None else jax.device_put(
+            jax.tree_util.tree_map(
+                lambda x: x.astype(ex_dt)
+                if getattr(x, "dtype", None) == np.float32
+                or getattr(x, "dtype", None) == jnp.float32 else x, t),
+            dev)
+        self.clip_params = cast_put(clip_params)
         self.emotion_text_embeds = emotion_text_embeds
-        self.maxvit_params = put(maxvit_params)
+        self.maxvit_params = cast_put(maxvit_params)
 
         rng = jax.random.PRNGKey(seed)
         L = MAX_SECONDS
@@ -189,23 +208,52 @@ class Video2music:
 
             clip_model = CLIP(cfg=clip_vit_l14_336_config())
             mv = MaxViT(cfg=maxvit_t_config())
-            # inputs arrive uint8 and normalize IN-GRAPH: 4x less H2D
-            # traffic than shipping f32 pixels
+            dt = self._extractor_jnp_dtype
+            # inputs arrive uint8 and normalize IN-GRAPH (4x less H2D
+            # traffic than f32 pixels), cast to the extractor dtype so
+            # bf16 kernels are not promoted back; text embeddings stay
+            # f32 so the 6-way emotion logits/softmax run in f32; outputs
+            # return f32 (hosts don't speak bf16)
+            f32 = lambda t: jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.float32), t)
             jits = self._feature_jits_cache = dict(
+                clip=jax.jit(lambda v, p8, t: f32(clip_model.apply(
+                    v, normalize_pixels(p8).astype(dt), t,
+                    method=clip_model.semantic_and_emotion))),
                 semantic=jax.jit(lambda v, p8: clip_model.apply(
-                    v, normalize_pixels(p8),
-                    method=clip_model.encode_image)),
-                emotion=jax.jit(lambda v, p8, t: clip_model.apply(
-                    v, normalize_pixels(p8), t,
-                    method=clip_model.emotion_probs)),
+                    v, normalize_pixels(p8).astype(dt),
+                    method=clip_model.encode_image).astype(jnp.float32)),
                 motion=jax.jit(lambda v, p8: mv.apply(
-                    v, normalize_diff_pixels(p8))),
+                    v, normalize_diff_pixels(p8).astype(dt)
+                ).astype(jnp.float32)),
             )
         return jits
 
     def extract_features(self, video_path: str) -> Dict[str, np.ndarray]:
         """Video file -> feature dict (semantic, emotion, scene_offset,
-        motion), each per-second, unpadded."""
+        motion), each per-second, unpadded.
+
+        Latency-engineered for single-clip serving (the reference runs
+        one CLIP forward per frame per feature and a separate decode per
+        script, video2music.py:144-237,298-335):
+
+          * ONE streaming decode pass (``video_io.stream_clip``) computes
+            scene scores inline and keeps only the frames extraction
+            consumes — never the whole clip (the naive retain-everything
+            path cost ~90 s/clip in GC pressure alone on a 1-core host);
+          * semantic + emotion come from ONE fused CLIP program
+            (``semantic_and_emotion``) — one vision-tower pass, not two;
+          * device programs are dispatched asynchronously and only forced
+            at the end, so host work (scene decisions, motion diff/resize)
+            overlaps TPU compute;
+          * extractor weights/activations run bf16 by default
+            (``extractor_dtype``).
+
+        Per-stage wall-clock of the last call is left in
+        ``self.last_extract_timings`` (seconds).
+        """
+        import time
+
         from ..features.clip import resize_crop_frames
         from ..features import scene as scene_mod
         from ..features.maxvit import (motion_diff_frames,
@@ -217,34 +265,47 @@ class Video2music:
                 "CLIP params / emotion text embeddings not loaded; pass "
                 "features= to generate() or supply clip_params + "
                 "emotion_text_embeds (export with tools/convert_clip.py)")
-        frames_1fps, frames_all, fps, duration = video_io.read_frames(
-            video_path, MAX_SECONDS)
+        T: Dict[str, float] = {}
+        t0 = time.perf_counter()
+        tick = lambda name: T.__setitem__(
+            name, time.perf_counter() - t0)
+
+        stream = video_io.stream_clip(video_path, MAX_SECONDS)
+        frames_1fps, fps = stream["frames_1fps"], stream["fps"]
         n_sec = frames_1fps.shape[0]
+        tick("decode+scene_scores")
 
         jits = self._feature_jits
         # frames are a BATCH dim for CLIP/MaxViT — pad to a 30-frame bucket
         # and slice, so arbitrary clip durations reuse at most 10 compiled
         # programs instead of one per distinct length
-        pixels = _pad_frame_bucket(
-            jnp.asarray(resize_crop_frames(frames_1fps)))
-        variables = {"params": self.clip_params}
-        semantic = np.asarray(jits["semantic"](variables, pixels))[:n_sec]
-        emotion = np.asarray(jits["emotion"](
-            variables, pixels,
-            jnp.asarray(self.emotion_text_embeds)))[:n_sec]
+        t0 = time.perf_counter()
+        pixels = _pad_frame_bucket(jnp.asarray(resize_crop_frames(
+            frames_1fps, backend=self.resize_backend)))
+        tick("resize_1fps")
+        t0 = time.perf_counter()
+        # async dispatch — forced at the end, after the host-side work
+        sem_dev, emo_dev = jits["clip"](
+            {"params": self.clip_params}, pixels,
+            jnp.asarray(self.emotion_text_embeds, jnp.float32))
+        tick("clip_dispatch")
 
-        # scene ids over the full frame stream, then per-second offsets
-        # (frames stay BGR — the detector converts straight to HSV, same
-        # as scenedetect's cv2 path)
-        cuts = scene_mod.detect_cuts(frames_all, bgr=True)
-        spans = scene_mod.scenes_from_cuts(cuts, len(frames_all), fps)
+        # scene ids from the streamed scores, then per-second offsets
+        # (scores came from BGR frames — same HSV path as scenedetect)
+        t0 = time.perf_counter()
+        cuts = scene_mod.detect_cuts(scores=stream["scores"])
+        spans = scene_mod.scenes_from_cuts(cuts, stream["n_frames_capped"],
+                                           fps)
         ids = scene_mod.scene_ids_per_second(spans, n_sec)
         # +1 shift matches both the training loader and the reference's
         # get_scene_offset_feature (int(sceneID)+1); 0 stays the PAD value
         scene_offset = np.asarray(scene_mod.scene_offsets(ids),
                                   np.float32) + 1.0
+        tick("scene_decisions")
 
-        pairs = video_io.second_boundary_pairs(frames_all, fps)
+        t0 = time.perf_counter()
+        pairs = stream["pairs"]
+        motion_dev = None
         if self.motion_type == 0:
             motion = scalar_motion(pairs)
         else:
@@ -252,10 +313,19 @@ class Video2music:
             if self.maxvit_params is None:
                 raise ValueError("maxvit_params required for motion_type>=1")
             n_pairs = len(diffs)
-            motion = np.asarray(jits["motion"](
+            motion_dev = jits["motion"](
                 {"params": self.maxvit_params},
-                _pad_frame_bucket(
-                    jnp.asarray(resize_crop_diff_frames(diffs)))))[:n_pairs]
+                _pad_frame_bucket(jnp.asarray(resize_crop_diff_frames(
+                    diffs, backend=self.resize_backend))))
+        tick("motion_prep+dispatch")
+
+        t0 = time.perf_counter()
+        semantic = np.asarray(sem_dev)[:n_sec]
+        emotion = np.asarray(emo_dev)[:n_sec]
+        if motion_dev is not None:
+            motion = np.asarray(motion_dev)[:n_pairs]
+        tick("device_fetch")
+        self.last_extract_timings = T
         return {"semantic": semantic, "emotion": emotion,
                 "scene_offset": scene_offset, "motion": motion}
 

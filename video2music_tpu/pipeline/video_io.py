@@ -9,12 +9,36 @@ as one batched array) and the mux is a single ffmpeg invocation.
 
 from __future__ import annotations
 
+import contextlib
+import gc
 import os
 import shutil
 import subprocess
 from typing import List, Tuple
 
 import numpy as np
+
+
+@contextlib.contextmanager
+def _gc_quiet():
+    """Pause the cyclic GC around host frame loops.
+
+    After jax/flax model construction the interpreter holds ~270k tracked
+    objects; a decode loop allocating ~1500 numpy frames then triggers
+    repeated collections that each scan that whole graph. Measured on the
+    product pipeline (60 s clip, single-core host): 90.5 s with GC on vs
+    1.5 s with the long-lived objects frozen out — a 60x swing from GC
+    alone. ``freeze()`` moves everything currently alive into the
+    permanent generation (so the closing collection doesn't scan it
+    either); ``disable()`` stops collections during the loop. Frame
+    arrays themselves die by refcount, so nothing cyclic accumulates."""
+    gc.disable()
+    gc.freeze()
+    try:
+        yield
+    finally:
+        gc.unfreeze()
+        gc.enable()
 
 
 def has_ffmpeg() -> bool:
@@ -53,6 +77,83 @@ def read_frames(video_path: str, max_seconds: int = 300):
     cap.release()
     duration = idx / fps
     return np.stack(frames_1fps), frames_all, fps, duration
+
+
+def stream_clip(video_path: str, max_seconds: int = 300,
+                scene_scores: bool = True) -> dict:
+    """ONE streaming decode pass producing exactly what feature extraction
+    needs, without ever materializing the full clip.
+
+    Returns a dict:
+      * ``frames_1fps``: uint8 RGB (n_sec, H, W, 3) — the reference's
+        1-fps ffmpeg select (first frame of each second), for CLIP;
+      * ``pairs``: list of (prev, cur) BGR consecutive-frame pairs at each
+        1-second boundary, for MaxViT motion (see
+        :func:`second_boundary_pairs` for the reference semantics);
+      * ``scores``: per-frame scene content scores (or None), computed
+        incrementally via ``features.scene.ContentScorer`` — feed them to
+        ``detect_cuts(scores=...)``;
+      * ``fps``, ``duration``, ``n_frames`` (all decoded frames) and
+        ``n_frames_capped`` (frames under ``max_seconds`` — the length
+        ``read_frames`` would have given ``frames_all``).
+
+    Selection semantics are identical to ``read_frames`` +
+    ``second_boundary_pairs`` + ``content_scores`` (parity-tested in
+    tests/test_pipeline.py). The difference is performance: retaining a
+    60 s clip is ~1 GB of arrays, and on a host where the interpreter
+    already holds a jitted model the allocation churn made the naive path
+    take ~90 s/clip (GC passes over ~270k live objects — see
+    :func:`_gc_quiet`). Streaming keeps only what extraction consumes
+    (~100 MB) and runs the loop with the GC paused: ~2 s/clip."""
+    import cv2
+
+    from ..features.scene import ContentScorer
+
+    cap = cv2.VideoCapture(str(video_path))
+    if not cap.isOpened():
+        raise FileNotFoundError(f"cannot open video {video_path!r}")
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    scorer = ContentScorer(bgr=True) if scene_scores else None
+    frames_1fps: List[np.ndarray] = []
+    pairs: List[Tuple[np.ndarray, np.ndarray]] = []
+    with _gc_quiet():
+        next_second = 0.0
+        prev_time = 0
+        prev_frame = None
+        idx = 0
+        n_capped = 0
+        while True:
+            ret, frame = cap.read()
+            if not ret:
+                break
+            t = idx / fps
+            if t < max_seconds:
+                n_capped += 1
+                if scorer is not None:
+                    scorer.update(frame)
+                if t >= next_second:
+                    frames_1fps.append(
+                        cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+                    next_second += 1.0
+                if idx >= 1 and t - prev_time >= 1.0:
+                    pairs.append((prev_frame, frame))
+                    prev_time = int(t)
+                prev_frame = frame
+            else:
+                # past the cap: only count frames for the duration (grab
+                # skips the decode-to-BGR conversion and the copy)
+                idx += 1
+                while cap.grab():
+                    idx += 1
+                break
+            idx += 1
+    cap.release()
+    return dict(frames_1fps=np.stack(frames_1fps) if frames_1fps else
+                np.zeros((0, 2, 2, 3), np.uint8),
+                pairs=pairs,
+                scores=scorer.scores() if scorer is not None else None,
+                fps=fps, duration=idx / fps, n_frames=idx,
+                n_frames_capped=n_capped)
 
 
 def frames_per_second(frames_all: List[np.ndarray], fps: float
