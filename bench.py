@@ -17,9 +17,21 @@ the CLAUDE.md step-timing methodology prescribes; the baseline keeps its
 per-token host round-trips because they are part of the reference
 algorithm being measured (json lookups + .item() per token).
 
-Prints ONE JSON line:
+Prints TWO JSON lines (the decode headline stays LAST for the driver's
+tail parser):
+  {"metric": "amt_train_step_b16", "value": <ms>, "unit": "ms/step", ...}
   {"metric": "amt_decode_300", "value": <tokens/s ours>, "unit": "tokens/s",
-   "vs_baseline": <baseline_time / our_time>}
+   "vs_baseline": <baseline_time / our_time>, "spread_pct": <run spread>}
+
+Each metric reports the median over repeated measurement blocks plus the
+spread (max-min)/median so run-to-run drift is visible in the artifact
+itself (the round-2 headline drifted 11% between two honest runs).
+
+The train metric compares the production step (bf16 fwd/bwd off f32
+master weights, donated state — train/step.py) against a reference-style
+step on the SAME hardware: pure f32, undonated state, mirroring the
+reference's training numerics (``train.py`` trains f32 with anomaly mode
+always on; anomaly mode is a torch-only cost we do NOT charge them for).
 """
 
 import json
@@ -65,7 +77,7 @@ def _build():
     return model, variables, feats
 
 
-def bench_cached(model, variables, feats, n_lo=2, n_hi=22, repeats=5):
+def bench_cached(model, variables, feats, n_lo=2, n_hi=42, repeats=7):
     """Sustained per-clip decode time by the N-scaling slope method.
 
     Each measurement dispatches N independent generate calls and fetches
@@ -107,8 +119,87 @@ def bench_cached(model, variables, feats, n_lo=2, n_hi=22, repeats=5):
         t_lo = timed(n_lo, 100 * r)
         t_hi = timed(n_hi, 100 * r + 50)
         slopes.append((t_hi - t_lo) / (n_hi - n_lo))
-    slopes.sort()
-    return slopes[len(slopes) // 2]
+    return slopes
+
+
+def _median_spread(samples):
+    """(median, spread%) where spread = (max-min)/median."""
+    s = sorted(samples)
+    med = s[len(s) // 2]
+    return med, 100.0 * (s[-1] - s[0]) / med
+
+
+def _train_batch(B=16, L=300):
+    from video2music_tpu.core.vocab import emotion_chord_targets
+
+    rng = np.random.default_rng(0)
+    rows = emotion_chord_targets()
+    eid = rng.integers(0, 6, (B, L - 1))
+    return dict(
+        x=jnp.asarray(rng.integers(0, 157, (B, L - 1))),
+        x_root=jnp.asarray(rng.integers(0, 13, (B, L - 1))),
+        x_attr=jnp.asarray(rng.integers(0, 14, (B, L - 1))),
+        tgt=jnp.asarray(rng.integers(0, 157, (B, L - 1))),
+        tgt_emotion=jnp.asarray(rows[eid]),
+        tgt_emotion_prob=jnp.asarray(
+            rng.uniform(0.5, 1, (B, L - 1)).astype(np.float32)),
+        semantic=jnp.asarray(
+            rng.standard_normal((B, L, 768)).astype(np.float32)),
+        key=jnp.ones((B, 1), jnp.float32),
+        scene_offset=jnp.asarray(
+            rng.integers(0, 30, (B, L)).astype(np.float32)),
+        motion=jnp.asarray(
+            rng.standard_normal((B, L, 512)).astype(np.float32)),
+        emotion=jnp.asarray(rng.uniform(size=(B, L, 6)).astype(np.float32)))
+
+
+def bench_train(B=16, repeats=3, n_lo=5, n_hi=30):
+    """Full-size AMT 2.2 train step (B=16, L=300) by the same slope
+    method: run N steps with ONE loss fetch at the end; the slope between
+    two block sizes cancels the fixed fetch RTT. Production step = bf16
+    mixed precision + donated state; baseline = f32, undonated (the
+    reference's numerics). Returns (slopes_seconds, baseline_seconds)."""
+    from video2music_tpu.core.config import TrainConfig, amt_config
+    from video2music_tpu.models import VideoMusicTransformer
+    from video2music_tpu.train import (create_train_state,
+                                       make_amt_train_step, make_optimizer)
+
+    cfg = amt_config("2.2", total_vf_dim=1287)
+    model = VideoMusicTransformer(cfg=cfg)
+    batch = _train_batch(B)
+
+    def setup(mixed):
+        tcfg = TrainConfig(optimizer="adamw", lr=1e-4,
+                           mixed_precision=mixed)
+        tx = make_optimizer(tcfg, d_model=cfg.d_model)
+        state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+        step = (jax.jit(make_amt_train_step(model, tx, tcfg),
+                        donate_argnums=(0,)) if mixed
+                else jax.jit(make_amt_train_step(model, tx, tcfg)))
+        state, m = step(state, batch)  # compile + warm
+        float(m["loss"])
+        return step, state
+
+    def timed(step, state, n):
+        t0 = time.perf_counter()
+        m = None
+        for _ in range(n):
+            state, m = step(state, batch)
+        float(m["loss"])
+        return time.perf_counter() - t0, state
+
+    step, state = setup(mixed=True)
+    slopes = []
+    for _ in range(repeats):
+        t_lo, state = timed(step, state, n_lo)
+        t_hi, state = timed(step, state, n_hi)
+        slopes.append((t_hi - t_lo) / (n_hi - n_lo))
+
+    step_f32, state_f32 = setup(mixed=False)
+    t_lo, state_f32 = timed(step_f32, state_f32, n_lo)
+    t_hi, state_f32 = timed(step_f32, state_f32, n_hi)
+    base = (t_hi - t_lo) / (n_hi - n_lo)
+    return slopes, base
 
 
 def bench_reference_style(model, variables, feats, buckets=(75, 150, 225, 300)):
@@ -162,15 +253,30 @@ def main():
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t)
     variables = cast(variables)
     feats = cast(feats)  # f32 inputs would promote bf16 kernels back to f32
-    ours = bench_cached(model, variables, feats)
+    slopes = bench_cached(model, variables, feats)
+    ours, spread = _median_spread(slopes)
     base = bench_reference_style(model, variables, feats)
+
+    if os.environ.get("V2M_BENCH_TRAIN", "1") != "0":
+        train_slopes, train_base = bench_train()
+        t_med, t_spread = _median_spread(train_slopes)
+        print(json.dumps({
+            "metric": "amt_train_step_b16",
+            "value": round(t_med * 1000, 2),
+            "unit": "ms/step",
+            "vs_baseline": round(train_base / t_med, 2),
+            "baseline": "same step, f32 undonated (reference numerics)",
+            "spread_pct": round(t_spread, 1),
+        }), flush=True)
+
     tokens_per_s = 300.0 / ours
     print(json.dumps({
         "metric": "amt_decode_300",
         "value": round(tokens_per_s, 2),
         "unit": "tokens/s",
         "vs_baseline": round(base / ours, 2),
-    }))
+        "spread_pct": round(spread, 1),
+    }), flush=True)
 
 
 if __name__ == "__main__":
