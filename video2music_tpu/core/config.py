@@ -110,6 +110,15 @@ class AMTConfig:
     scene_embed: bool = False  # embed scene offset instead of concatenating
     chord_embed: bool = False  # frozen Word2Vec chord table instead of root+attr
     chord_embed_dim: int = 512
+    # Which frozen table backs chord_embed (features/chord2vec.py):
+    #   "word2vec"       — the reference's trained table (converted from its
+    #                      shipped word2vec_filled.bin), indexed POSITIONALLY
+    #                      like the reference does (quirk: its rows are
+    #                      frequency-sorted symbols, so ids read misaligned
+    #                      embeddings — weight-comparable parity default);
+    #   "word2vec_keyed" — same table re-aligned by chord symbol (corrected);
+    #   "deterministic"  — the synthetic music-theory table (any dim).
+    chord_table: str = "word2vec"
     drop_token_rate: float = 0.0
     separated: bool = False  # IS_SEPERATED: separate root/attr heads
     # Grouped-query attention: number of KV heads for every attention in the

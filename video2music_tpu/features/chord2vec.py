@@ -24,7 +24,8 @@ replacements:
 from __future__ import annotations
 
 import functools
-from typing import Iterable, List, Sequence
+import pickle
+from typing import Iterable, List, Sequence, Tuple
 
 import numpy as np
 
@@ -76,6 +77,140 @@ def deterministic_chord_table(dim: int = 512, seed: int = 0) -> np.ndarray:
     proj = rng.standard_normal((feats.shape[1], dim)).astype(np.float32)
     table = feats @ proj / np.sqrt(feats.shape[1])
     return table.astype(np.float32)
+
+
+class _Stub:
+    """Inert stand-in for gensim classes during restricted unpickling:
+    accepts any constructor args and absorbs state into ``__dict__``."""
+
+    def __init__(self, *a, **k):
+        pass
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+        else:
+            self.__dict__["_state"] = state
+
+
+def _stub_callable(*_a, **_k):
+    return _Stub()
+
+
+class _GensimUnpickler(pickle.Unpickler):
+    """Restricted unpickler for gensim ``Word2Vec.save()`` files.
+
+    Only numpy array reconstruction, a few stdlib builtins, and inert
+    stubs for the gensim classes are allowed — anything else (the usual
+    pickle code-execution vector) raises. This lets the framework read the
+    reference's shipped ``word2vec_filled.bin``
+    (``model/video_music_transformer.py:20,47-50``) without gensim — and
+    without trusting the pickle."""
+
+    _ALLOWED = {
+        ("numpy.core.multiarray", "_reconstruct"),   # numpy 1.x writers
+        ("numpy._core.multiarray", "_reconstruct"),  # numpy 2.x writers
+        ("_codecs", "encode"),  # protocol<=2 array buffers (latin-1 str)
+        ("numpy", "ndarray"),
+        ("numpy", "dtype"),
+        ("collections", "defaultdict"),
+        ("builtins", "int"),
+        ("builtins", "dict"),
+        ("builtins", "list"),
+    }
+
+    def find_class(self, module, name):
+        if (module, name) in self._ALLOWED:
+            return super().find_class(module, name)
+        if module.startswith("gensim"):
+            return _stub_callable if name[:1].islower() else _Stub
+        if module.startswith("numpy.random"):
+            # RandomState/bit-generator reconstruction — state baggage the
+            # table does not need; swallow it
+            return _stub_callable
+        if (module, name) == ("builtins", "hash"):
+            return _stub_callable  # gensim's hashfxn attribute
+        raise pickle.UnpicklingError(
+            f"refusing to unpickle {module}.{name} from a word2vec file")
+
+
+def load_gensim_word2vec(path: str) -> Tuple[np.ndarray, List[str]]:
+    """Read a gensim ``Word2Vec.save()`` pickle WITHOUT gensim.
+
+    Returns ``(vectors, index_to_key)``: the (vocab, dim) float32 vector
+    table and the key for each row. Works for models saved with arrays
+    inline (gensim keeps arrays in the pickle below its 10 MB sep_limit —
+    the reference's 836 KB ``word2vec_filled.bin`` qualifies)."""
+    with open(path, "rb") as f:
+        obj = _GensimUnpickler(f).load()
+    wv = obj.__dict__["wv"].__dict__
+    vectors = np.asarray(wv["vectors"], np.float32)
+    keys = [str(k) for k in wv["index_to_key"]]
+    if len(keys) != vectors.shape[0]:
+        raise ValueError(
+            f"word2vec file {path!r}: {len(keys)} keys vs "
+            f"{vectors.shape[0]} vectors")
+    return vectors, keys
+
+
+def align_chord_table(vectors: np.ndarray, keys: Sequence[str], *,
+                      positional: bool = True) -> np.ndarray:
+    """(CHORD_SIZE, dim) chord-id-indexed table from raw word2vec rows.
+
+    The reference's shipped ``word2vec_filled.bin`` stores 203 vectors in
+    gensim FREQUENCY order (keys "C", "G", "F", "D", "G:7", ... — 157 of
+    them are exactly our chord vocabulary; the rest are 9th/11th/13th
+    chords and "X", outside the 159-id vocab), yet the reference indexes
+    ``wv.vectors`` POSITIONALLY with chord ids
+    (``Embedding.from_pretrained(wv.vectors)`` then
+    ``self.chord_embedding_model(x)``,
+    ``model/video_music_transformer.py:50,153``) — so chord id 2 (C:dim)
+    reads the embedding trained for "F". Quirk: the reference trained its
+    chord_embed models end-to-end against this misaligned-but-frozen
+    table, so ``positional=True`` (the default, weight-comparable parity)
+    reproduces it. ``positional=False`` aligns rows by chord SYMBOL
+    (zero rows for END/PAD and any absent id) — the corrected table.
+    """
+    out = np.zeros((C.CHORD_SIZE, vectors.shape[1]), np.float32)
+    if positional:
+        n = min(C.CHORD_SIZE, vectors.shape[0])
+        out[:n] = vectors[:n]
+        return out
+    from ..core.vocab import chord_dict
+
+    cd = chord_dict()
+    for row, key in zip(vectors, keys):
+        cid = cd.get(key)
+        if cid is None and key.isdigit() and int(key) < C.CHORD_SIZE:
+            cid = int(key)
+        if cid is not None:
+            out[cid] = row
+    return out
+
+
+_ASSET_PATH = __file__.rsplit("features", 1)[0] + "assets/chord_word2vec.npz"
+
+
+@functools.lru_cache(maxsize=None)
+def _load_asset() -> Tuple[np.ndarray, Tuple[str, ...]]:
+    data = np.load(_ASSET_PATH, allow_pickle=False)
+    return np.asarray(data["vectors"], np.float32), tuple(
+        str(k) for k in data["keys"])
+
+
+def word2vec_chord_table(dim: int = 512, *,
+                         positional: bool = True) -> np.ndarray:
+    """The reference's trained 512-d chord table (converted from its
+    shipped ``word2vec_filled.bin`` into ``assets/chord_word2vec.npz`` by
+    ``tools/import_word2vec.py``), id-aligned per
+    :func:`align_chord_table`. Raises if ``dim`` mismatches the artifact
+    (the reference trained vector_size=512)."""
+    vectors, keys = _load_asset()
+    if vectors.shape[1] != dim:
+        raise ValueError(
+            f"trained chord table is {vectors.shape[1]}-d, requested {dim}; "
+            "use chord_table='deterministic' for other dims")
+    return align_chord_table(vectors, keys, positional=positional)
 
 
 def corpus_from_labs(lab_texts: Iterable[str]) -> List[List[int]]:

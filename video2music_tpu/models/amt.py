@@ -58,14 +58,31 @@ class VideoMusicTransformer(nn.Module):
         if cfg.chord_embed:
             # frozen chord table (reference loads a gensim word2vec_filled.bin,
             # video_music_transformer.py:47-50). Default init: the
-            # deterministic music-theory table (features/chord2vec.py) so
-            # chord_embed models run with structured non-random frozen
-            # weights; a converted/trained table overrides it via the
-            # checkpoint converter or features.chord2vec.train_skipgram.
-            from ..features.chord2vec import deterministic_chord_table
+            # reference's TRAINED table, converted into
+            # assets/chord_word2vec.npz and indexed per cfg.chord_table
+            # (see AMTConfig — the positional default reproduces the
+            # reference's frequency-order indexing quirk). "deterministic"
+            # selects the synthetic music-theory table (any dim); a
+            # checkpoint converter or train_skipgram table overrides all.
+            from ..features.chord2vec import (deterministic_chord_table,
+                                              word2vec_chord_table)
 
             def _chord_table_init(_rng, shape, dtype=jnp.float32):
-                table = deterministic_chord_table(shape[1])
+                if cfg.chord_table == "deterministic":
+                    table = deterministic_chord_table(shape[1])
+                elif cfg.chord_table in ("word2vec", "word2vec_keyed"):
+                    try:
+                        table = word2vec_chord_table(
+                            shape[1],
+                            positional=cfg.chord_table == "word2vec")
+                    except ValueError:
+                        # trained artifact exists only at its native dim
+                        # (512); non-matching dims (tiny test configs)
+                        # fall back to the synthetic table
+                        table = deterministic_chord_table(shape[1])
+                else:
+                    raise ValueError(
+                        f"unknown chord_table {cfg.chord_table!r}")
                 assert table.shape == tuple(shape), (table.shape, shape)
                 return jnp.asarray(table, dtype)
 
