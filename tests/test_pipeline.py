@@ -292,6 +292,114 @@ def test_stream_clip_matches_legacy_pass(tmp_path):
     np.testing.assert_allclose(s["scores"], scores_ref)
 
 
+@pytest.fixture(scope="module")
+def tiny_extracting_v2m():
+    """A Video2music with TINY real extractors (56px CLIP with the
+    product's 768-d projection, 56px 2-stage MaxViT) so the full
+    extraction path runs on the CPU backend in seconds."""
+    import jax
+    import jax.numpy as jnp
+
+    from video2music_tpu.features.clip import (CLIP, CLIPConfig,
+                                               CLIPVisionConfig)
+    from video2music_tpu.features.maxvit import MaxViT, MaxViTConfig
+
+    ccfg = CLIPConfig(vision=CLIPVisionConfig(
+        hidden_size=16, layers=1, heads=2, patch_size=14, image_size=56,
+        projection_dim=768))
+    mcfg = MaxViTConfig(channels=(8, 16), depths=(1, 1), stem_channels=8,
+                        partition=7, head_dim=8, image_size=56)
+    rng = jax.random.PRNGKey(0)
+    text = np.asarray(jax.random.normal(jax.random.fold_in(rng, 1),
+                                        (6, 768)), np.float32)
+    clip_model = CLIP(cfg=ccfg)
+    clip_params = clip_model.init(
+        rng, jnp.zeros((1, 56, 56, 3)), jnp.asarray(text),
+        method=CLIP.semantic_and_emotion)["params"]
+    mv = MaxViT(cfg=mcfg)
+    mv_params = mv.init(jax.random.fold_in(rng, 2),
+                        jnp.zeros((1, 56, 56, 3)))["params"]
+    return Video2music(
+        music_gen_version="2.2", reg_model="bigru", motion_type=1,
+        amt_overrides=dict(n_layers=1, num_heads=2, d_model=16, d_ff=32),
+        reg_overrides=dict(n_layers=1, d_model=8, d_hidden=16),
+        clip_params=clip_params, emotion_text_embeds=text,
+        maxvit_params=mv_params, clip_cfg=ccfg, maxvit_cfg=mcfg,
+        extractor_dtype="float32")
+
+
+def test_chunked_extraction_matches_monolithic(tiny_extracting_v2m,
+                                               tmp_path):
+    """extract_features dispatches 30-frame chunks inside the decode loop;
+    the result must equal one monolithic dispatch over the whole clip
+    (frames are independent batch rows)."""
+    import jax.numpy as jnp
+
+    from video2music_tpu.features import scene as scene_mod
+    from video2music_tpu.features.clip import resize_crop_frames
+    from video2music_tpu.features.maxvit import (motion_diff_frames,
+                                                 resize_crop_diff_frames)
+    from video2music_tpu.pipeline import video_io
+    from video2music_tpu.pipeline.api import _pad_frame_bucket
+
+    v2m = tiny_extracting_v2m
+    path = os.path.join(str(tmp_path), "clip.mp4")
+    _write_clip(path, seconds=70, fps=5.0)  # 3 chunks: 30 + 30 + 10
+
+    got = v2m.extract_features(path)
+
+    # oracle: the legacy shape — one dispatch over everything
+    stream = video_io.stream_clip(path, 300)
+    jits = v2m._feature_jits
+    pixels = _pad_frame_bucket(jnp.asarray(resize_crop_frames(
+        stream["frames_1fps"], 56, backend="cv2")))
+    sem, emo = jits["clip"]({"params": v2m.clip_params}, pixels,
+                            jnp.asarray(v2m.emotion_text_embeds))
+    n_sec = stream["frames_1fps"].shape[0]
+    diffs = motion_diff_frames(stream["pairs"])
+    mot = jits["motion"]({"params": v2m.maxvit_params}, _pad_frame_bucket(
+        jnp.asarray(resize_crop_diff_frames(diffs, 56, backend="cv2"))))
+    cuts = scene_mod.detect_cuts(scores=stream["scores"])
+    spans = scene_mod.scenes_from_cuts(cuts, stream["n_frames_capped"],
+                                       stream["fps"])
+    ids = scene_mod.scene_ids_per_second(spans, n_sec)
+    scene_offset = np.asarray(scene_mod.scene_offsets(ids),
+                              np.float32) + 1.0
+
+    assert got["semantic"].shape == (70, 768)
+    assert got["emotion"].shape == (70, 6)
+    assert got["motion"].shape[0] == len(stream["pairs"]) + 1
+    np.testing.assert_allclose(got["semantic"], np.asarray(sem)[:n_sec],
+                               atol=1e-5)
+    np.testing.assert_allclose(got["emotion"], np.asarray(emo)[:n_sec],
+                               atol=1e-5)
+    np.testing.assert_allclose(got["motion"],
+                               np.asarray(mot)[:len(diffs)], atol=1e-5)
+    np.testing.assert_array_equal(got["scene_offset"], scene_offset)
+
+
+def test_extract_features_batch_matches_per_clip(tiny_extracting_v2m,
+                                                 tmp_path):
+    """Cross-clip coalesced extraction slices back to exactly the
+    per-clip results (incl. the per-clip leading zero motion row)."""
+    v2m = tiny_extracting_v2m
+    paths = []
+    for i, sec in enumerate((6, 9)):
+        p = os.path.join(str(tmp_path), f"clip{i}.mp4")
+        _write_clip(p, seconds=sec, fps=5.0, n_scenes=2 + i)
+        paths.append(p)
+
+    batch = v2m.extract_features_batch(paths)
+    singles = [v2m.extract_features(p) for p in paths]
+    assert len(batch) == 2
+    for got, want in zip(batch, singles):
+        for k in ("semantic", "emotion", "motion"):
+            np.testing.assert_allclose(got[k], want[k], atol=1e-5,
+                                       err_msg=k)
+        np.testing.assert_array_equal(got["scene_offset"],
+                                      want["scene_offset"])
+
+
 def test_stream_clip_respects_max_seconds(tmp_path):
     from video2music_tpu.pipeline import video_io
 

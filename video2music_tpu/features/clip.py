@@ -239,13 +239,16 @@ def _resize_crop_cv2(frames: np.ndarray, image_size: int) -> np.ndarray:
     path; INTER_AREA ~ antialiased downscale, INTER_CUBIC upscale)."""
     import cv2
 
-    out = np.empty((frames.shape[0], image_size, image_size, 3), np.uint8)
+    # frames may be an (N, H, W, 3) array or a list of frames with
+    # per-clip resolutions (extract_features_batch flattens clips)
+    out = np.empty((len(frames), image_size, image_size, 3), np.uint8)
     for i, frame in enumerate(frames):
         h, w = frame.shape[:2]
         scale = image_size / min(w, h)
         nw, nh = int(round(w * scale)), int(round(h * scale))
         interp = cv2.INTER_AREA if scale < 1.0 else cv2.INTER_CUBIC
-        im = cv2.resize(frame, (nw, nh), interpolation=interp)
+        im = cv2.resize(np.ascontiguousarray(frame), (nw, nh),
+                        interpolation=interp)
         left, top = (nw - image_size) // 2, (nh - image_size) // 2
         out[i] = im[top:top + image_size, left:left + image_size]
     return out

@@ -124,8 +124,14 @@ class Video2music:
                  amt_overrides: Optional[dict] = None,
                  reg_overrides: Optional[dict] = None,
                  extractor_dtype: str = "bfloat16",
-                 resize_backend: str = "cv2"):
+                 resize_backend: str = "cv2",
+                 clip_cfg=None, maxvit_cfg=None):
         self.motion_type = motion_type
+        # extractor architecture overrides (tests use tiny configs; the
+        # product default is the reference pair: CLIP ViT-L/14@336 +
+        # MaxViT-T, video2music.py:151,298)
+        self._clip_cfg = clip_cfg
+        self._maxvit_cfg = maxvit_cfg
         self.extractor_dtype = extractor_dtype
         # "cv2" = SIMD resize (serving default, ~10x faster per frame on
         # 1-core hosts); "pil" = bit-exact reference preprocessing
@@ -181,13 +187,24 @@ class Video2music:
         self.reg_variables = jax.jit(self.model_reg.init)(
             {"params": jax.random.fold_in(rng, 1)}, dummy["sem"],
             dummy["scene"], dummy["motion"], dummy["emo"])
+        self.load_checkpoints(amt_checkpoint, reg_checkpoint)
+
+    def load_checkpoints(self, amt_checkpoint: Optional[str] = None,
+                         reg_checkpoint: Optional[str] = None) -> None:
+        """(Re)load model weights in place — the serving hot-reload hook.
+
+        Compiled programs are keyed by shape/config, not weight values, so
+        swapping params needs no recompile. NOT thread-safe against a
+        concurrently running generate: route through
+        ``DynamicBatcher.submit_control`` in serving (runs between
+        batches on the worker thread)."""
+        from ..train.checkpoint import load_params
+
         if amt_checkpoint:
-            from ..train.checkpoint import load_params
             self.variables = dict(self.variables)
             self.variables["params"] = load_params(
                 amt_checkpoint, self.variables["params"])
         if reg_checkpoint:
-            from ..train.checkpoint import load_params
             self.reg_variables = dict(self.reg_variables)
             self.reg_variables["params"] = load_params(
                 reg_checkpoint, self.reg_variables["params"])
@@ -206,8 +223,9 @@ class Video2music:
             from ..features.maxvit import (MaxViT, maxvit_t_config,
                                            normalize_diff_pixels)
 
-            clip_model = CLIP(cfg=clip_vit_l14_336_config())
-            mv = MaxViT(cfg=maxvit_t_config())
+            clip_model = CLIP(cfg=self._clip_cfg
+                              or clip_vit_l14_336_config())
+            mv = MaxViT(cfg=self._maxvit_cfg or maxvit_t_config())
             dt = self._extractor_jnp_dtype
             # inputs arrive uint8 and normalize IN-GRAPH (4x less H2D
             # traffic than f32 pixels), cast to the extractor dtype so
@@ -229,6 +247,15 @@ class Video2music:
             )
         return jits
 
+    def _extractor_image_sizes(self):
+        """(clip_size, maxvit_size) input resolutions for the resize."""
+        from ..features.clip import clip_vit_l14_336_config
+        from ..features.maxvit import maxvit_t_config
+
+        clip_cfg = self._clip_cfg or clip_vit_l14_336_config()
+        mv_cfg = self._maxvit_cfg or maxvit_t_config()
+        return clip_cfg.vision.image_size, mv_cfg.image_size
+
     def extract_features(self, video_path: str) -> Dict[str, np.ndarray]:
         """Video file -> feature dict (semantic, emotion, scene_offset,
         motion), each per-second, unpadded.
@@ -237,15 +264,17 @@ class Video2music:
         one CLIP forward per frame per feature and a separate decode per
         script, video2music.py:144-237,298-335):
 
-          * ONE streaming decode pass (``video_io.stream_clip``) computes
+          * ONE streaming decode pass (``video_io.ClipStream``) computes
             scene scores inline and keeps only the frames extraction
             consumes — never the whole clip (the naive retain-everything
             path cost ~90 s/clip in GC pressure alone on a 1-core host);
+          * extractor work is dispatched INSIDE the decode loop: every 30
+            decoded seconds, a 30-frame CLIP chunk (and a 30-pair MaxViT
+            chunk) ships to the TPU, so resize + H2D + device compute ride
+            within the host decode wall-clock instead of after it — and
+            every chunk shares the SAME compiled 30-frame program;
           * semantic + emotion come from ONE fused CLIP program
             (``semantic_and_emotion``) — one vision-tower pass, not two;
-          * device programs are dispatched asynchronously and only forced
-            at the end, so host work (scene decisions, motion diff/resize)
-            overlaps TPU compute;
           * extractor weights/activations run bf16 by default
             (``extractor_dtype``).
 
@@ -265,37 +294,79 @@ class Video2music:
                 "CLIP params / emotion text embeddings not loaded; pass "
                 "features= to generate() or supply clip_params + "
                 "emotion_text_embeds (export with tools/convert_clip.py)")
+        if self.motion_type != 0 and self.maxvit_params is None:
+            raise ValueError("maxvit_params required for motion_type>=1")
         T: Dict[str, float] = {}
         t0 = time.perf_counter()
         tick = lambda name: T.__setitem__(
             name, time.perf_counter() - t0)
 
-        stream = video_io.stream_clip(video_path, MAX_SECONDS)
-        frames_1fps, fps = stream["frames_1fps"], stream["fps"]
-        n_sec = frames_1fps.shape[0]
-        tick("decode+scene_scores")
-
         jits = self._feature_jits
-        # frames are a BATCH dim for CLIP/MaxViT — pad to a 30-frame bucket
-        # and slice, so arbitrary clip durations reuse at most 10 compiled
-        # programs instead of one per distinct length
-        t0 = time.perf_counter()
-        pixels = _pad_frame_bucket(jnp.asarray(resize_crop_frames(
-            frames_1fps, backend=self.resize_backend)))
-        tick("resize_1fps")
-        t0 = time.perf_counter()
-        # async dispatch — forced at the end, after the host-side work
-        sem_dev, emo_dev = jits["clip"](
-            {"params": self.clip_params}, pixels,
-            jnp.asarray(self.emotion_text_embeds, jnp.float32))
-        tick("clip_dispatch")
+        variables = {"params": self.clip_params}
+        text = jnp.asarray(self.emotion_text_embeds, jnp.float32)
+        clip_size, mv_size = self._extractor_image_sizes()
+        CH = 30  # chunk size == the frame bucket unit
+
+        buf_1fps: List[np.ndarray] = []
+        buf_pairs: List[tuple] = []
+        clip_devs: List[tuple] = []    # (device out, true length)
+        motion_devs: List[tuple] = []
+        all_pairs: List[tuple] = []    # only kept for motion_type=0
+        n_sec = 0
+        first_motion_chunk = True
+
+        def flush_clip():
+            nonlocal n_sec
+            if not buf_1fps:
+                return
+            arr = resize_crop_frames(np.stack(buf_1fps), clip_size,
+                                     backend=self.resize_backend)
+            clip_devs.append((jits["clip"](
+                variables, _pad_frame_bucket(jnp.asarray(arr)), text),
+                arr.shape[0]))
+            n_sec += arr.shape[0]
+            buf_1fps.clear()
+
+        def flush_motion():
+            nonlocal first_motion_chunk
+            if not buf_pairs:
+                return
+            # motion_diff_frames prepends the reference's leading zero
+            # row — only the FIRST chunk keeps it
+            diffs = motion_diff_frames(buf_pairs)
+            if not first_motion_chunk:
+                diffs = diffs[1:]
+            first_motion_chunk = False
+            arr = resize_crop_diff_frames(diffs, mv_size,
+                                          backend=self.resize_backend)
+            motion_devs.append((jits["motion"](
+                {"params": self.maxvit_params},
+                _pad_frame_bucket(jnp.asarray(arr))), arr.shape[0]))
+            buf_pairs.clear()
+
+        cs = video_io.ClipStream(video_path, MAX_SECONDS)
+        for f1, pair in cs:
+            if f1 is not None:
+                buf_1fps.append(f1)
+                if len(buf_1fps) == CH:
+                    flush_clip()
+            if pair is not None:
+                if self.motion_type == 0:
+                    all_pairs.append(pair)
+                else:
+                    buf_pairs.append(pair)
+                    if len(buf_pairs) == CH:
+                        flush_motion()
+        flush_clip()
+        flush_motion()
+        tick("decode+dispatch")
 
         # scene ids from the streamed scores, then per-second offsets
         # (scores came from BGR frames — same HSV path as scenedetect)
         t0 = time.perf_counter()
-        cuts = scene_mod.detect_cuts(scores=stream["scores"])
-        spans = scene_mod.scenes_from_cuts(cuts, stream["n_frames_capped"],
-                                           fps)
+        cuts = scene_mod.detect_cuts(scores=cs.scores)
+        spans = scene_mod.scenes_from_cuts(cuts, cs.n_frames_capped,
+                                           cs.fps)
         ids = scene_mod.scene_ids_per_second(spans, n_sec)
         # +1 shift matches both the training loader and the reference's
         # get_scene_offset_feature (int(sceneID)+1); 0 stays the PAD value
@@ -304,30 +375,152 @@ class Video2music:
         tick("scene_decisions")
 
         t0 = time.perf_counter()
-        pairs = stream["pairs"]
-        motion_dev = None
         if self.motion_type == 0:
-            motion = scalar_motion(pairs)
-        else:
-            diffs = motion_diff_frames(pairs)
-            if self.maxvit_params is None:
-                raise ValueError("maxvit_params required for motion_type>=1")
-            n_pairs = len(diffs)
-            motion_dev = jits["motion"](
+            motion = scalar_motion(all_pairs)
+        elif motion_devs:
+            motion = np.concatenate(
+                [np.asarray(d)[:n] for d, n in motion_devs])
+        else:  # zero-pair clip (sub-second video): the legacy single-
+            # dispatch path still ran MaxViT on the leading zero row;
+            # that output is a constant, but run it once for parity
+            diffs = motion_diff_frames([])
+            arr = resize_crop_diff_frames(diffs, mv_size,
+                                          backend=self.resize_backend)
+            motion = np.asarray(jits["motion"](
                 {"params": self.maxvit_params},
-                _pad_frame_bucket(jnp.asarray(resize_crop_diff_frames(
-                    diffs, backend=self.resize_backend))))
-        tick("motion_prep+dispatch")
-
-        t0 = time.perf_counter()
-        semantic = np.asarray(sem_dev)[:n_sec]
-        emotion = np.asarray(emo_dev)[:n_sec]
-        if motion_dev is not None:
-            motion = np.asarray(motion_dev)[:n_pairs]
+                _pad_frame_bucket(jnp.asarray(arr))))[:arr.shape[0]]
+        semantic = np.concatenate(
+            [np.asarray(d[0])[:n] for d, n in clip_devs]) \
+            if clip_devs else np.zeros((0, 768), np.float32)
+        emotion = np.concatenate(
+            [np.asarray(d[1])[:n] for d, n in clip_devs]) \
+            if clip_devs else np.zeros((0, 6), np.float32)
         tick("device_fetch")
         self.last_extract_timings = T
         return {"semantic": semantic, "emotion": emotion,
                 "scene_offset": scene_offset, "motion": motion}
+
+    def extract_features_batch(self, video_paths) -> List[Dict[str, np.ndarray]]:
+        """Feature extraction for SEVERAL clips through SHARED extractor
+        programs — the serving-side analogue of ``generate_batch``.
+
+        Frames are a batch dimension for CLIP/MaxViT, so concurrent clips'
+        frames concatenate into one stream and run as full ~300-frame
+        programs instead of one short program per clip (matches-and-beats
+        target: the reference runs ONE frame per forward,
+        video2music.py:160-165). Host video decode runs in a small thread
+        pool (cv2 releases the GIL during decode), scene decisions overlap
+        the dispatched device programs, and results are sliced back per
+        clip. Returns one ``extract_features``-shaped dict per path;
+        numerics are identical to per-clip extraction (same compiled
+        programs, frames independent along the batch axis).
+        """
+        import time
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..features.clip import resize_crop_frames
+        from ..features import scene as scene_mod
+        from ..features.maxvit import (motion_diff_frames,
+                                       resize_crop_diff_frames,
+                                       scalar_motion)
+
+        if not video_paths:
+            return []
+        if self.clip_params is None or self.emotion_text_embeds is None:
+            raise ValueError(
+                "CLIP params / emotion text embeddings not loaded")
+        T: Dict[str, float] = {}
+        t0 = time.perf_counter()
+        tick = lambda name: T.__setitem__(name, time.perf_counter() - t0)
+
+        with ThreadPoolExecutor(min(4, len(video_paths))) as pool:
+            streams = list(pool.map(
+                lambda p: video_io.stream_clip(p, MAX_SECONDS), video_paths))
+        tick("decode+scene_scores")
+
+        jits = self._feature_jits
+        variables = {"params": self.clip_params}
+        text = jnp.asarray(self.emotion_text_embeds, jnp.float32)
+        clip_size, mv_size = self._extractor_image_sizes()
+
+        # concatenate every clip's 1fps frames into one stream, dispatch
+        # in MAX_SECONDS chunks (each padded to the shared 30-frame
+        # buckets), slice back per clip below
+        t0 = time.perf_counter()
+        pix = [resize_crop_frames(s["frames_1fps"], clip_size,
+                                  backend=self.resize_backend)
+               for s in streams]
+        n_secs = [p.shape[0] for p in pix]
+        all_pix = np.concatenate(pix, axis=0)
+        chunks = [all_pix[s:s + MAX_SECONDS]
+                  for s in range(0, all_pix.shape[0], MAX_SECONDS)]
+        # (program output, true chunk length) — bucket padding is sliced
+        # off at fetch so concatenation has no padding inside
+        clip_devs = [
+            (jits["clip"](variables, _pad_frame_bucket(jnp.asarray(c)),
+                          text), c.shape[0])
+            for c in chunks]
+        tick("resize+clip_dispatch")
+
+        t0 = time.perf_counter()
+        scene_offsets = []
+        for s, n_sec in zip(streams, n_secs):
+            cuts = scene_mod.detect_cuts(scores=s["scores"])
+            spans = scene_mod.scenes_from_cuts(cuts, s["n_frames_capped"],
+                                               s["fps"])
+            ids = scene_mod.scene_ids_per_second(spans, n_sec)
+            scene_offsets.append(np.asarray(
+                scene_mod.scene_offsets(ids), np.float32) + 1.0)
+        tick("scene_decisions")
+
+        t0 = time.perf_counter()
+        motions: List[Optional[np.ndarray]] = [None] * len(streams)
+        motion_devs = []
+        # per-clip motion row counts: motion_diff_frames yields
+        # len(pairs)+1 rows (the reference's leading zero row per clip)
+        n_mrows = [len(s["pairs"]) + 1 for s in streams]
+        if self.motion_type == 0:
+            for i, s in enumerate(streams):
+                motions[i] = scalar_motion(s["pairs"])
+        else:
+            if self.maxvit_params is None:
+                raise ValueError("maxvit_params required for motion_type>=1")
+            diffs = [d for s in streams
+                     for d in motion_diff_frames(s["pairs"])]
+            all_diff = resize_crop_diff_frames(
+                diffs, mv_size, backend=self.resize_backend)
+            motion_devs = [
+                (jits["motion"]({"params": self.maxvit_params},
+                                _pad_frame_bucket(jnp.asarray(c))),
+                 c.shape[0])
+                for c in (all_diff[s:s + MAX_SECONDS]
+                          for s in range(0, all_diff.shape[0], MAX_SECONDS))]
+        tick("motion_prep+dispatch")
+
+        t0 = time.perf_counter()
+        sem = np.concatenate([np.asarray(d[0])[:n] for d, n in clip_devs])
+        emo = np.concatenate([np.asarray(d[1])[:n] for d, n in clip_devs])
+        if motion_devs:
+            mot = np.concatenate([np.asarray(d)[:n]
+                                  for d, n in motion_devs])
+        tick("device_fetch")
+        self.last_extract_timings = T
+
+        results = []
+        off = moff = 0
+        for i, n_sec in enumerate(n_secs):
+            motion = motions[i]
+            if motion is None:
+                motion = mot[moff:moff + n_mrows[i]]
+                moff += n_mrows[i]
+            results.append({
+                "semantic": sem[off:off + n_sec],
+                "emotion": emo[off:off + n_sec],
+                "scene_offset": scene_offsets[i],
+                "motion": motion,
+            })
+            off += n_sec
+        return results
 
     # ------------------------------------------------------------------
     def generate(self, video: Optional[str] = None,
@@ -505,7 +698,8 @@ class Video2music:
                        correct_panning: bool = False,
                        compute_dtype: str = "bfloat16",
                        quantize: Optional[str] = None,
-                       n_real: Optional[int] = None):
+                       n_real: Optional[int] = None,
+                       on_decoded=None):
         """Batched serving: decode B clips in ONE compiled program.
 
         The per-token decode step is latency-bound at B=1 (the kernels'
@@ -527,6 +721,10 @@ class Video2music:
             the rest are shape-padding clones (the DynamicBatcher's
             bucketing); they decode on-device but skip the host-side
             MIDI/audio render, and only ``n_real`` results are returned.
+          on_decoded: optional ``fn(i, {"chords", "chord_ids", "key"})``
+            called per real request as soon as the decode fetch lands —
+            BEFORE any host-side MIDI/audio rendering. Streaming serving
+            uses this to push chords to the client while renders run.
         Returns:
           list of GenerateResult, one per (real) request (host-side
           MIDI/audio rendering runs per clip, as in generate()).
@@ -607,6 +805,14 @@ class Video2music:
                     temperature=temp))
         out = cache[ck](variables, reg_variables, feats, num_primer,
                         jnp.asarray(temps[:, None]), jax.random.PRNGKey(seed))
+
+        if on_decoded is not None:
+            inv = chord_inv_dict()
+            for i, p in enumerate(prepped[:n_real]):
+                ids = np.asarray(out["gen_seq"][i])[:p["n_sec"]]
+                on_decoded(i, {
+                    "chords": [inv.get(int(c), "N") for c in ids],
+                    "chord_ids": ids, "key": p["key"]})
 
         results = []
         for i, (req, p) in enumerate(zip(requests[:n_real],

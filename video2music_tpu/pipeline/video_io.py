@@ -14,14 +14,19 @@ import gc
 import os
 import shutil
 import subprocess
+import threading
 from typing import List, Tuple
 
 import numpy as np
 
 
+_gc_quiet_lock = threading.Lock()
+_gc_quiet_depth = 0
+
+
 @contextlib.contextmanager
 def _gc_quiet():
-    """Pause the cyclic GC around host frame loops.
+    """Pause the cyclic GC around host frame loops (reentrant).
 
     After jax/flax model construction the interpreter holds ~270k tracked
     objects; a decode loop allocating ~1500 numpy frames then triggers
@@ -31,14 +36,25 @@ def _gc_quiet():
     alone. ``freeze()`` moves everything currently alive into the
     permanent generation (so the closing collection doesn't scan it
     either); ``disable()`` stops collections during the loop. Frame
-    arrays themselves die by refcount, so nothing cyclic accumulates."""
-    gc.disable()
-    gc.freeze()
+    arrays themselves die by refcount, so nothing cyclic accumulates.
+
+    Reentrancy: batch extraction decodes several clips concurrently; a
+    depth counter keeps the GC off until the LAST loop exits rather than
+    re-enabling when the first finishes."""
+    global _gc_quiet_depth
+    with _gc_quiet_lock:
+        if _gc_quiet_depth == 0:
+            gc.disable()
+            gc.freeze()
+        _gc_quiet_depth += 1
     try:
         yield
     finally:
-        gc.unfreeze()
-        gc.enable()
+        with _gc_quiet_lock:
+            _gc_quiet_depth -= 1
+            if _gc_quiet_depth == 0:
+                gc.unfreeze()
+                gc.enable()
 
 
 def has_ffmpeg() -> bool:
@@ -79,6 +95,81 @@ def read_frames(video_path: str, max_seconds: int = 300):
     return np.stack(frames_1fps), frames_all, fps, duration
 
 
+class ClipStream:
+    """Incremental single-pass decode: iterate to receive
+    ``(frame_1fps_rgb_or_None, pair_or_None)`` events as frames decode;
+    scene scores accumulate inline. After iteration completes, the
+    summary attributes are set: ``fps``, ``duration``, ``n_frames``,
+    ``n_frames_capped``, ``scores``.
+
+    This is the engine under :func:`stream_clip`; consume it directly to
+    overlap work with the decode (``pipeline.api.extract_features``
+    dispatches a 30-frame extractor chunk to the TPU every time 30
+    seconds of video have decoded, so H2D + device compute ride inside
+    the host decode wall-clock). Selection semantics are identical to
+    ``read_frames`` + ``second_boundary_pairs`` + ``content_scores``
+    (parity-tested)."""
+
+    def __init__(self, video_path: str, max_seconds: int = 300,
+                 scene_scores: bool = True):
+        self.path = str(video_path)
+        self.max_seconds = max_seconds
+        self.want_scores = scene_scores
+        self.fps: float = 0.0
+        self.duration: float = 0.0
+        self.n_frames: int = 0
+        self.n_frames_capped: int = 0
+        self.scores = None
+
+    def __iter__(self):
+        import cv2
+
+        from ..features.scene import ContentScorer
+
+        cap = cv2.VideoCapture(self.path)
+        if not cap.isOpened():
+            raise FileNotFoundError(f"cannot open video {self.path!r}")
+        self.fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+        scorer = ContentScorer(bgr=True) if self.want_scores else None
+        with _gc_quiet():
+            next_second = 0.0
+            prev_time = 0
+            prev_frame = None
+            idx = 0
+            while True:
+                ret, frame = cap.read()
+                if not ret:
+                    break
+                t = idx / self.fps
+                if t < self.max_seconds:
+                    self.n_frames_capped += 1
+                    if scorer is not None:
+                        scorer.update(frame)
+                    f1 = None
+                    pair = None
+                    if t >= next_second:
+                        f1 = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                        next_second += 1.0
+                    if idx >= 1 and t - prev_time >= 1.0:
+                        pair = (prev_frame, frame)
+                        prev_time = int(t)
+                    prev_frame = frame
+                    if f1 is not None or pair is not None:
+                        yield f1, pair
+                else:
+                    # past the cap: only count frames for the duration
+                    # (grab skips decode-to-BGR and the copy)
+                    idx += 1
+                    while cap.grab():
+                        idx += 1
+                    break
+                idx += 1
+        cap.release()
+        self.n_frames = idx
+        self.duration = idx / self.fps
+        self.scores = scorer.scores() if scorer is not None else None
+
+
 def stream_clip(video_path: str, max_seconds: int = 300,
                 scene_scores: bool = True) -> dict:
     """ONE streaming decode pass producing exactly what feature extraction
@@ -104,56 +195,22 @@ def stream_clip(video_path: str, max_seconds: int = 300,
     already holds a jitted model the allocation churn made the naive path
     take ~90 s/clip (GC passes over ~270k live objects — see
     :func:`_gc_quiet`). Streaming keeps only what extraction consumes
-    (~100 MB) and runs the loop with the GC paused: ~2 s/clip."""
-    import cv2
-
-    from ..features.scene import ContentScorer
-
-    cap = cv2.VideoCapture(str(video_path))
-    if not cap.isOpened():
-        raise FileNotFoundError(f"cannot open video {video_path!r}")
-    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
-    scorer = ContentScorer(bgr=True) if scene_scores else None
+    (~100 MB) and runs the loop with the GC paused: ~2 s/clip. Built on
+    :class:`ClipStream`; consume that directly to overlap work with the
+    decode."""
+    cs = ClipStream(video_path, max_seconds, scene_scores)
     frames_1fps: List[np.ndarray] = []
     pairs: List[Tuple[np.ndarray, np.ndarray]] = []
-    with _gc_quiet():
-        next_second = 0.0
-        prev_time = 0
-        prev_frame = None
-        idx = 0
-        n_capped = 0
-        while True:
-            ret, frame = cap.read()
-            if not ret:
-                break
-            t = idx / fps
-            if t < max_seconds:
-                n_capped += 1
-                if scorer is not None:
-                    scorer.update(frame)
-                if t >= next_second:
-                    frames_1fps.append(
-                        cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
-                    next_second += 1.0
-                if idx >= 1 and t - prev_time >= 1.0:
-                    pairs.append((prev_frame, frame))
-                    prev_time = int(t)
-                prev_frame = frame
-            else:
-                # past the cap: only count frames for the duration (grab
-                # skips the decode-to-BGR conversion and the copy)
-                idx += 1
-                while cap.grab():
-                    idx += 1
-                break
-            idx += 1
-    cap.release()
+    for f1, pair in cs:
+        if f1 is not None:
+            frames_1fps.append(f1)
+        if pair is not None:
+            pairs.append(pair)
     return dict(frames_1fps=np.stack(frames_1fps) if frames_1fps else
                 np.zeros((0, 2, 2, 3), np.uint8),
-                pairs=pairs,
-                scores=scorer.scores() if scorer is not None else None,
-                fps=fps, duration=idx / fps, n_frames=idx,
-                n_frames_capped=n_capped)
+                pairs=pairs, scores=cs.scores,
+                fps=cs.fps, duration=cs.duration, n_frames=cs.n_frames,
+                n_frames_capped=cs.n_frames_capped)
 
 
 def frames_per_second(frames_all: List[np.ndarray], fps: float
