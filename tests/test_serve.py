@@ -207,3 +207,194 @@ def test_batcher_buckets_cover_max_batch(tiny_v2m, tmp_path):
         assert b.buckets[-1] >= 24  # a 17+-request group has a width
     finally:
         b.stop()
+
+
+def test_streaming_on_decoded_fires_before_render(tiny_v2m, tmp_path):
+    """on_decoded delivers the chords before the future resolves with the
+    fully rendered result, and both agree."""
+    events = []
+    batcher = DynamicBatcher(tiny_v2m, max_batch=4, max_wait_ms=10,
+                             output_dir=str(tmp_path))
+    try:
+        fut = batcher.submit({"features": _feats(6, 0), "primer": "C"},
+                             on_decoded=lambda p: events.append(p))
+        result, _ = fut.result(timeout=120)
+        assert len(events) == 1
+        assert events[0]["chords"] == result.chords
+        assert events[0]["key"] == result.key
+    finally:
+        batcher.stop()
+
+
+def test_backpressure_sheds_load(tiny_v2m, tmp_path):
+    """A full bounded queue raises Overloaded instead of queueing forever;
+    accepted requests still complete."""
+    from video2music_tpu.pipeline.serving import Overloaded
+
+    batcher = DynamicBatcher(tiny_v2m, max_batch=2, max_wait_ms=1,
+                             max_queue=2, output_dir=str(tmp_path))
+    try:
+        futs = []
+        shed = 0
+        # the worker drains slowly relative to this burst; some submits
+        # must shed once 2 are queued (worker may have taken a couple)
+        for i in range(40):
+            try:
+                futs.append(batcher.submit(
+                    {"features": _feats(4, i), "primer": "C"}))
+            except Overloaded:
+                shed += 1
+        assert shed > 0
+        assert batcher.stats["shed"] == shed
+        for f in futs:
+            f.result(timeout=300)
+    finally:
+        batcher.stop()
+
+
+def test_submit_control_hot_reload_runs_on_worker(tiny_v2m, tmp_path):
+    """submit_control executes between batches on the worker thread and
+    returns its value; a control fn error surfaces in the Future."""
+    batcher = DynamicBatcher(tiny_v2m, max_batch=2, max_wait_ms=5,
+                             output_dir=str(tmp_path))
+    try:
+        seen = {}
+
+        def ctl(v2m):
+            seen["thread"] = threading.current_thread().name
+            seen["v2m"] = v2m
+            return "done"
+
+        fut = batcher.submit(
+            {"features": _feats(4, 0), "primer": "C"})
+        cfut = batcher.submit_control(ctl)
+        assert cfut.result(timeout=120) == "done"
+        assert seen["v2m"] is tiny_v2m
+        assert seen["thread"] == "v2m-batcher"
+        fut.result(timeout=120)
+
+        boom = batcher.submit_control(
+            lambda v2m: (_ for _ in ()).throw(RuntimeError("bad ckpt")))
+        with pytest.raises(RuntimeError, match="bad ckpt"):
+            boom.result(timeout=120)
+        # the worker survives a failed control op
+        ok = batcher.submit({"features": _feats(4, 1), "primer": "C"})
+        ok.result(timeout=120)
+    finally:
+        batcher.stop()
+
+
+def test_submit_requires_features_or_video(tiny_v2m, tmp_path):
+    batcher = DynamicBatcher(tiny_v2m, max_batch=2, max_wait_ms=1,
+                             output_dir=str(tmp_path))
+    try:
+        with pytest.raises(ValueError, match="features.*video"):
+            batcher.submit({"primer": "C"})
+    finally:
+        batcher.stop()
+
+
+@pytest.fixture(scope="module")
+def extracting_v2m():
+    """Tiny CLIP-only Video2music (motion_type=0: scalar motion, no
+    MaxViT) whose generate() consumes its own extracted features."""
+    import jax
+    import jax.numpy as jnp
+
+    from video2music_tpu.features.clip import (CLIP, CLIPConfig,
+                                               CLIPVisionConfig)
+
+    ccfg = CLIPConfig(vision=CLIPVisionConfig(
+        hidden_size=16, layers=1, heads=2, patch_size=14, image_size=56,
+        projection_dim=768))
+    rng = jax.random.PRNGKey(0)
+    text = np.asarray(jax.random.normal(jax.random.fold_in(rng, 1),
+                                        (6, 768)), np.float32)
+    clip_model = CLIP(cfg=ccfg)
+    clip_params = clip_model.init(
+        rng, jnp.zeros((1, 56, 56, 3)), jnp.asarray(text),
+        method=CLIP.semantic_and_emotion)["params"]
+    return Video2music(
+        music_gen_version="2.2", reg_model="bigru", motion_type=0,
+        amt_overrides=dict(n_layers=1, num_heads=2, d_model=16, d_ff=32),
+        reg_overrides=dict(n_layers=1, d_model=8, d_hidden=16),
+        clip_params=clip_params, emotion_text_embeds=text,
+        clip_cfg=ccfg, extractor_dtype="float32")
+
+
+def _write_video(path, seconds=4, fps=5.0, w=64, h=48, seed=0):
+    cv2 = pytest.importorskip("cv2")
+    writer = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"),
+                             fps, (w, h))
+    if not writer.isOpened():
+        pytest.skip("cv2.VideoWriter cannot encode here")
+    r = np.random.default_rng(seed)
+    color = r.integers(0, 255, 3)
+    for i in range(int(seconds * fps)):
+        img = np.empty((h, w, 3), np.uint8)
+        img[:] = color
+        img[:, : (i * 5) % w] //= 2
+        writer.write(img)
+    writer.release()
+
+
+def test_video_requests_batch_through_shared_extraction(extracting_v2m,
+                                                        tmp_path):
+    """Requests carrying raw videos get group-extracted (shared CLIP
+    programs) then group-decoded; results match a direct generate() on
+    the same clip's extracted features."""
+    v1 = tmp_path / "a.mp4"
+    v2 = tmp_path / "b.mp4"
+    _write_video(v1, seconds=4, seed=1)
+    _write_video(v2, seconds=6, seed=2)
+
+    batcher = DynamicBatcher(extracting_v2m, max_batch=4, max_wait_ms=300,
+                             output_dir=str(tmp_path))
+    try:
+        f1 = batcher.submit({"video": str(v1), "primer": "C"})
+        f2 = batcher.submit({"video": str(v2), "primer": "Am"})
+        (r1, w1), (r2, w2) = f1.result(timeout=300), f2.result(timeout=300)
+        assert w1 == w2 == 2  # one shared program for both
+        assert len(r1.chords) == 4 and len(r2.chords) == 6
+        # oracle: same clip through single-path extraction + generate
+        feats = extracting_v2m.extract_features(str(v1))
+        direct = extracting_v2m.generate(
+            primer="C", features=feats,
+            output_dir=str(tmp_path / "direct"), temperature=1.0)
+        assert direct.chords == r1.chords
+    finally:
+        batcher.stop()
+
+
+def test_http_stream_and_reload(extracting_v2m, tmp_path):
+    """stream:true yields a 'decoded' NDJSON line then 'done'; /reload
+    without args is a 400; /generate with a video path works."""
+    from video2music_tpu.cli.serve import ServeApp, make_server
+
+    vid = tmp_path / "s.mp4"
+    _write_video(vid, seconds=3, seed=3)
+    app = ServeApp(output_dir=str(tmp_path), v2m=extracting_v2m)
+    server = make_server(app, port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"video": str(vid), "primer": "C",
+                             "stream": True}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            lines = [json.loads(l) for l in resp.read().splitlines() if l]
+        assert [l["stage"] for l in lines] == ["decoded", "done"]
+        assert lines[0]["chords"] == lines[1]["chords"]
+        assert len(lines[0]["chords"]) == 3
+
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/reload", data=b"{}",
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=30)
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()
+        app.stop()

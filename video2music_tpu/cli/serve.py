@@ -13,13 +13,26 @@ HTTP server needs no dispatch lock.
 API:
   GET  /healthz   -> {"ok": true, "stats": {...}}
   POST /generate  JSON body:
-      {"test_id": "<dataset id>" | "features": {"semantic": [[...]], ...},
-       "primer": "C Am F G", "key": "C major", "temperature": 1.0}
+      {"test_id": "<dataset id>" | "features": {"semantic": [[...]], ...}
+         | "video": "/server/local/clip.mp4",
+       "primer": "C Am F G", "key": "C major", "temperature": 1.0,
+       "stream": false}
     -> {"chords": [...], "key": ..., "midi_path": ..., "batch_width": B}
+    With "stream": true the response is chunked NDJSON: first
+    {"stage": "decoded", "chords": [...], "key": ...} as soon as the
+    decode lands, then {"stage": "done", ...full result...} after
+    host-side MIDI/audio rendering.
+  POST /reload    {"amt_checkpoint": path?, "reg_checkpoint": path?}
+    -> hot-swaps model weights between batches (no recompile; compiled
+       programs key on shapes, not values).
+  Overload: a full request queue returns 503 (bounded queue in
+  ``pipeline.serving``; see ``-max_queue``).
 
-Feature extraction from raw video needs CLIP/MaxViT weights and stays an
-offline step (``cli/extract_features.py``), matching the reference's
-dataset pipeline split.
+``"video"`` paths are SERVER-local files (the batcher coalesces
+extraction across concurrent requests into shared CLIP/MaxViT programs —
+``api.extract_features_batch``); running without extractor weights
+(``-clip_checkpoint``/``-maxvit_checkpoint`` unset) restricts requests to
+``test_id``/``features``, matching the reference's offline dataset split.
 """
 
 from __future__ import annotations
@@ -41,7 +54,7 @@ class ServeApp:
                  output_dir: str = "./serve_output",
                  v2m=None, test_ds=None, motion_type: int = 0,
                  max_batch: int = 16, max_wait_ms: int = 30,
-                 **v2m_kwargs):
+                 max_queue: int = 256, **v2m_kwargs):
         self.dataset_dir = dataset_dir
         self.output_dir = output_dir
         self.motion_type = motion_type
@@ -51,6 +64,7 @@ class ServeApp:
         self._batcher = None
         self._max_batch = max_batch
         self._max_wait_ms = max_wait_ms
+        self._max_queue = max_queue
         # lazy-init guard: concurrent first requests on the threading
         # server must not build two models / two batcher workers
         self._init_lock = threading.Lock()
@@ -77,6 +91,7 @@ class ServeApp:
                 self._batcher = DynamicBatcher(
                     self._v2m, max_batch=self._max_batch,
                     max_wait_ms=self._max_wait_ms,
+                    max_queue=self._max_queue,
                     output_dir=self.output_dir)
             return self._batcher
 
@@ -85,7 +100,12 @@ class ServeApp:
             self._batcher.stop()
 
     # ------------------------------------------------------------------
-    def _features_for(self, body: Dict) -> Dict[str, np.ndarray]:
+    def _features_for(self, body: Dict) -> Optional[Dict[str, np.ndarray]]:
+        if "video" in body:
+            path = str(body["video"])
+            if not os.path.isfile(path):
+                raise ValueError(f"video path not found on server: {path!r}")
+            return None  # extracted by the batcher group-wise
         if "features" in body:
             f = body["features"]
             missing = [k for k in ("semantic", "emotion", "scene_offset",
@@ -103,17 +123,23 @@ class ServeApp:
         return {k: sample[k] for k in
                 ("semantic", "emotion", "scene_offset", "motion")}
 
-    def handle_generate(self, body: Dict) -> Dict:
+    def handle_generate(self, body: Dict, on_decoded=None) -> Dict:
         # KeyError may escape only from the test_id lookup (-> 404); any
         # KeyError out of the batched pipeline is a server bug (-> 500)
+        features = self._features_for(body)
         request = dict(
-            features=self._features_for(body),
             primer=body.get("primer", ""),
             key=body.get("key"),
             transposition_value=int(body.get("transposition_value", 0)))
+        if features is None:
+            request["video"] = str(body["video"])
+        else:
+            request["features"] = features
         try:
-            result, width = self.batcher.generate(
-                request, temperature=float(body.get("temperature", 1.0)))
+            fut = self.batcher.submit(
+                request, temperature=float(body.get("temperature", 1.0)),
+                on_decoded=on_decoded)
+            result, width = fut.result()
         except KeyError as exc:
             raise RuntimeError(f"pipeline KeyError: {exc}") from exc
         return {
@@ -124,6 +150,16 @@ class ServeApp:
             "video_path": result.video_path,
             "batch_width": width,
         }
+
+    def handle_reload(self, body: Dict) -> Dict:
+        amt = body.get("amt_checkpoint")
+        reg = body.get("reg_checkpoint")
+        if not amt and not reg:
+            raise ValueError("need amt_checkpoint and/or reg_checkpoint")
+        fut = self.batcher.submit_control(
+            lambda v2m: v2m.load_checkpoints(amt, reg))
+        fut.result()  # surface load errors to the caller
+        return {"ok": True, "amt_checkpoint": amt, "reg_checkpoint": reg}
 
 
 def make_server(app: ServeApp, host: str = "127.0.0.1", port: int = 0):
@@ -147,14 +183,51 @@ def make_server(app: ServeApp, host: str = "127.0.0.1", port: int = 0):
             else:
                 self._json(404, {"error": "not found"})
 
+        def _stream_generate(self, body):
+            """Chunked NDJSON: a 'decoded' line as soon as the decode
+            fetch lands, a 'done' line after host-side rendering."""
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def chunk(payload: Dict):
+                data = (json.dumps(payload) + "\n").encode()
+                self.wfile.write(f"{len(data):x}\r\n".encode() + data
+                                 + b"\r\n")
+                self.wfile.flush()
+
+            def on_decoded(payload):
+                chunk({"stage": "decoded",
+                       "chords": payload["chords"],
+                       "key": payload["key"]})
+
+            try:
+                result = app.handle_generate(body, on_decoded=on_decoded)
+                chunk(dict(result, stage="done"))
+            except Exception as exc:  # noqa: BLE001 — headers already
+                # sent; the error must travel in-stream
+                chunk({"stage": "error",
+                       "error": f"{type(exc).__name__}: {exc}"})
+            self.wfile.write(b"0\r\n\r\n")
+
         def do_POST(self):
-            if self.path != "/generate":
-                self._json(404, {"error": "not found"})
-                return
+            from ..pipeline.serving import Overloaded
+
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 body = json.loads(self.rfile.read(n) or b"{}")
-                self._json(200, app.handle_generate(body))
+                if self.path == "/generate":
+                    if body.get("stream"):
+                        self._stream_generate(body)
+                    else:
+                        self._json(200, app.handle_generate(body))
+                elif self.path == "/reload":
+                    self._json(200, app.handle_reload(body))
+                else:
+                    self._json(404, {"error": "not found"})
+            except Overloaded as exc:   # bounded queue full -> shed load
+                self._json(503, {"error": str(exc)})
             except KeyError as exc:     # unknown test_id
                 self._json(404, {"error": str(exc)})
             except (ValueError, json.JSONDecodeError) as exc:  # bad payload
@@ -178,11 +251,12 @@ def main(argv=None):
     p.add_argument("-reg_checkpoint", default=None)
     p.add_argument("-max_batch", type=int, default=16)
     p.add_argument("-max_wait_ms", type=int, default=30)
+    p.add_argument("-max_queue", type=int, default=256)
     args = p.parse_args(argv)
     app = ServeApp(
         dataset_dir=args.dataset_dir, output_dir=args.output_dir,
         motion_type=args.motion_type, max_batch=args.max_batch,
-        max_wait_ms=args.max_wait_ms,
+        max_wait_ms=args.max_wait_ms, max_queue=args.max_queue,
         music_gen_version=args.music_gen_version, reg_model=args.regModel,
         amt_checkpoint=args.amt_checkpoint,
         reg_checkpoint=args.reg_checkpoint)

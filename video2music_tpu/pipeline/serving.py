@@ -9,14 +9,23 @@ kernel-latency bound at B=1 while extra batch rows are nearly free
 concurrent requests into one compiled batched program. This module is that
 coalescing layer:
 
-  * requests enter a queue and a worker thread gathers them for up to
-    ``max_wait_ms`` (or until ``max_batch``);
+  * requests enter a BOUNDED queue (load shedding raises
+    :class:`Overloaded` at capacity) and a worker thread gathers them for
+    up to ``max_wait_ms`` (or until ``max_batch``);
+  * requests carrying a raw ``video`` get their features extracted for
+    the whole group through SHARED CLIP/MaxViT programs
+    (``api.extract_features_batch``) before the shared decode;
   * a gathered group runs as ONE program regardless of per-request
     temperatures (the sampler temperature is a per-element traced input,
     not a compile-time constant), padded up to a power-of-two bucket so
     the number of distinct compiled programs stays bounded (pad clones
     decode on-device but skip the host-side render via ``n_real``);
-  * each caller gets a Future resolving to its ``GenerateResult``.
+  * each caller gets a Future resolving to its ``GenerateResult``; an
+    optional ``on_decoded`` callback streams the chords as soon as the
+    decode fetch lands, before MIDI/audio rendering;
+  * :meth:`DynamicBatcher.submit_control` runs mutations (checkpoint
+    hot-reload via ``Video2music.load_checkpoints``) on the worker thread
+    between batches, where they cannot race a running generate.
 
 Use via :class:`DynamicBatcher` directly, or the HTTP frontend in
 ``cli/serve.py``.
@@ -36,10 +45,27 @@ from typing import Any, Dict, List, Optional
 DEFAULT_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
 
 
+class Overloaded(RuntimeError):
+    """Raised by submit() when the request queue is at capacity — the
+    load-shedding signal (HTTP frontends map it to 503)."""
+
+
 @dataclass
 class _Pending:
     request: Dict[str, Any]
     temperature: float
+    future: Future = field(default_factory=Future)
+    # fn(payload) pushed as soon as this request's decode fetch lands,
+    # before host-side rendering (streaming responses)
+    on_decoded: Optional[Any] = None
+
+
+@dataclass
+class _Control:
+    """A control operation (e.g. checkpoint hot-reload) executed on the
+    worker thread between batches — the only place it cannot race a
+    running generate."""
+    fn: Any
     future: Future = field(default_factory=Future)
 
 
@@ -60,11 +86,13 @@ class DynamicBatcher:
 
     def __init__(self, v2m, *, max_batch: int = 16, max_wait_ms: int = 30,
                  output_dir: str = "./serve_output",
-                 buckets=DEFAULT_BUCKETS, **generate_kwargs):
+                 buckets=DEFAULT_BUCKETS, max_queue: int = 256,
+                 **generate_kwargs):
         self.v2m = v2m
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
         self.output_dir = output_dir
+        self.max_queue = max_queue
         self.buckets = tuple(sorted(b for b in buckets if b <= max_batch))
         if not self.buckets or self.buckets[0] != 1:
             raise ValueError("buckets must include 1 and respect max_batch")
@@ -74,28 +102,55 @@ class DynamicBatcher:
             self.buckets = self.buckets + (max_batch,)
         self.generate_kwargs = generate_kwargs
         self.stats = {"requests": 0, "batches": 0, "batched_requests": 0,
-                      "max_batch_size": 0}
+                      "max_batch_size": 0, "shed": 0}
         self._stats_lock = threading.Lock()
         self._seq = itertools.count()
-        self._q: "queue.Queue[Optional[_Pending]]" = queue.Queue()
+        # bounded: a full queue sheds load at submit() instead of
+        # accumulating unbounded futures the worker can never catch up on
+        self._q: "queue.Queue[Optional[_Pending]]" = queue.Queue(
+            maxsize=max_queue)
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="v2m-batcher")
         self._worker.start()
 
     # ------------------------------------------------------------------
-    def submit(self, request: Dict[str, Any],
-               temperature: float = 1.0) -> Future:
+    def submit(self, request: Dict[str, Any], temperature: float = 1.0,
+               on_decoded=None) -> Future:
         """Queue one request dict (``generate_batch`` schema: ``features``
-        required). Returns a Future of (GenerateResult, batch_width)."""
+        or a raw ``video`` path). Returns a Future of (GenerateResult,
+        batch_width). ``on_decoded(payload)`` (if given) fires with the
+        decoded chords before host-side rendering. Raises
+        :class:`Overloaded` when the queue is at ``max_queue``."""
         if self._stop.is_set():
             raise RuntimeError("batcher stopped")
+        if "features" not in request and "video" not in request:
+            raise ValueError("request needs 'features' or 'video'")
         if "output_dir" not in request:
             request = dict(request, output_dir=os.path.join(
                 self.output_dir, f"req_{next(self._seq):06d}"))
-        item = _Pending(request=request, temperature=float(temperature))
+        item = _Pending(request=request, temperature=float(temperature),
+                        on_decoded=on_decoded)
+        try:
+            self._q.put_nowait(item)
+        except queue.Full:
+            with self._stats_lock:
+                self.stats["shed"] += 1
+            raise Overloaded(
+                f"request queue full ({self.max_queue}); retry later"
+            ) from None
         with self._stats_lock:
             self.stats["requests"] += 1
+        return item.future
+
+    def submit_control(self, fn) -> Future:
+        """Run ``fn(v2m)`` on the worker thread between batches (the safe
+        point for mutations like checkpoint hot-reload) and resolve the
+        returned Future with its result. Control items bypass load
+        shedding."""
+        if self._stop.is_set():
+            raise RuntimeError("batcher stopped")
+        item = _Control(fn=fn)
         self._q.put(item)
         return item.future
 
@@ -106,13 +161,27 @@ class DynamicBatcher:
 
     def stop(self) -> None:
         self._stop.set()
-        self._q.put(None)
+        try:
+            self._q.put_nowait(None)
+        except queue.Full:
+            pass  # queue non-empty -> the worker isn't blocked on get()
         self._worker.join(timeout=5)
 
     # ------------------------------------------------------------------
+    def _take(self, timeout=None):
+        """Next queued item, honouring the holdback slot (items a gather
+        pulled but could not consume — a Queue has no push-front)."""
+        if self._held is not None:
+            item, self._held = self._held, None
+            return item
+        return self._q.get(timeout=timeout)
+
     def _gather(self) -> List[_Pending]:
-        first = self._q.get()
-        if first is None:
+        first = self._take()
+        if first is None:  # stop sentinel (self._stop is already set)
+            return []
+        if isinstance(first, _Control):
+            self._exec_control(first)
             return []
         group = [first]
         deadline = time.monotonic() + self.max_wait_s
@@ -121,16 +190,23 @@ class DynamicBatcher:
             if remaining <= 0:
                 break
             try:
-                nxt = self._q.get(timeout=remaining)
+                nxt = self._take(timeout=remaining)
             except queue.Empty:
                 break
-            if nxt is None:
-                self._q.put(None)  # re-post the stop sentinel
+            if nxt is None or isinstance(nxt, _Control):
+                self._held = nxt  # handle after this batch
                 break
             group.append(nxt)
         return group
 
+    def _exec_control(self, item: _Control) -> None:
+        try:
+            item.future.set_result(item.fn(self.v2m))
+        except Exception as exc:  # noqa: BLE001 — surface to the caller
+            item.future.set_exception(exc)
+
     def _run(self) -> None:
+        self._held = None
         while not self._stop.is_set():
             group: List[_Pending] = []
             try:
@@ -150,6 +226,18 @@ class DynamicBatcher:
     def _run_batch(self, items: List[_Pending]) -> None:
         n = len(items)
         bucket = next(b for b in self.buckets if b >= n)
+        # requests may arrive with a raw ``video`` instead of precomputed
+        # ``features``: extract for the whole group at once — frames from
+        # concurrent clips coalesce into shared CLIP/MaxViT programs
+        # (api.extract_features_batch), the extraction-side analogue of
+        # the decode batching below
+        todo = [i for i, it in enumerate(items)
+                if "features" not in it.request]
+        if todo:
+            feats = self.v2m.extract_features_batch(
+                [items[i].request["video"] for i in todo])
+            for i, f in zip(todo, feats):
+                items[i].request = dict(items[i].request, features=f)
         requests = [it.request for it in items]
         temps = [it.temperature for it in items]
         # pad clones keep program shapes bucketed; n_real tells
@@ -159,10 +247,20 @@ class DynamicBatcher:
                    output_dir=os.path.join(self.output_dir, "_pad"))
         requests = requests + [pad] * (bucket - n)
         temps = temps + [temps[-1]] * (bucket - n)
+
+        def on_decoded(i, payload):
+            cb = items[i].on_decoded
+            if cb is not None:
+                try:
+                    cb(payload)
+                except Exception:  # noqa: BLE001 — a client's stream
+                    pass           # callback must not fail the batch
+
         try:
             results = self.v2m.generate_batch(
                 requests, temperature=temps, n_real=n,
-                output_dir=self.output_dir, **self.generate_kwargs)
+                output_dir=self.output_dir, on_decoded=on_decoded,
+                **self.generate_kwargs)
         except Exception as exc:  # surface to every caller in the batch
             for it in items:
                 it.future.set_exception(exc)
