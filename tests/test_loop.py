@@ -250,3 +250,28 @@ def test_train_amt_mesh_rejects_indivisible_batch(tmp_path):
     with pytest.raises(ValueError, match="divisible"):
         train_amt(model, tcfg, loop, train_ds, val_ds,
                   mesh=create_mesh((2, 2)), parallel="dp")
+
+
+def test_step_profiler_writes_trace(tmp_path):
+    """-profile N: StepProfiler traces steps 1..N once and flushes a
+    profiler artifact directory (jax.profiler works on the CPU backend)."""
+    import jax.numpy as jnp
+    from video2music_tpu.train.loop import StepProfiler
+
+    out = tmp_path / "prof"
+    msgs = []
+    p = StepProfiler(1, str(out), log_fn=msgs.append)
+    p.maybe_start(0)           # step 0 is the compile step — not traced
+    assert not p._active
+    p.maybe_start(1)
+    assert p._active
+    x = jnp.arange(4) * 2      # some device work inside the trace
+    p.maybe_stop(1, x)
+    assert p._done and not p._active
+    assert msgs and "profiled steps 1..1" in msgs[0]
+    # a plugins/profile/<ts>/ tree with at least one artifact
+    found = [f for root, _, files in os.walk(out) for f in files]
+    assert found, "profiler trace produced no files"
+    # a finished profiler is inert
+    p.maybe_start(1)
+    assert not p._active

@@ -65,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "stacks), tp (+Megatron column/row weights), sp "
                         "(tp + sequence-parallel residual stream), pp "
                         "(GPipe pipeline stages, homogeneous stacks only)")
+    p.add_argument("-profile", type=int, default=0, metavar="N",
+                   help="capture a jax.profiler trace of train steps 1..N "
+                        "(step 0 compiles) into -profile_dir; view with "
+                        "TensorBoard's profile plugin / xprof")
+    p.add_argument("-profile_dir", default="./profile")
     p.add_argument("-microbatches", type=int, default=4,
                    help="pipeline microbatches per step (-parallel pp)")
     return p
@@ -85,7 +90,9 @@ def main(argv=None):
                       output_dir=args.output_dir,
                       weight_modulus=args.weight_modulus,
                       eval_train_subset=not args.augmentation,
-                      continue_from=args.continue_weights, seed=args.seed)
+                      continue_from=args.continue_weights, seed=args.seed,
+                      profile_steps=args.profile,
+                      profile_dir=args.profile_dir)
     if args.music_only:
         from ..core.config import MusicTransformerConfig
         mcfg = MusicTransformerConfig(

@@ -86,7 +86,48 @@ class LoopConfig:
     # present (a robustness upgrade over the reference's manual
     # -continue_weights/-continue_epoch pair); epoch numbering continues.
     auto_resume: bool = False
+    # -profile N: capture a jax.profiler trace of train steps 1..N (step 0
+    # is the compile step) into profile_dir — the TPU-native replacement
+    # for the reference's always-on torch anomaly mode + per-batch prints
+    # (train.py:28, run_model_vevo.py:182-193). View with TensorBoard's
+    # profile plugin / xprof.
+    profile_steps: int = 0
+    profile_dir: str = "./profile"
     log_fn: Callable[[str], None] = print
+
+
+class StepProfiler:
+    """Traces steps [1, 1+n) of the first epoch pass it sees, once."""
+
+    def __init__(self, n_steps: int, out_dir: str, log_fn=print):
+        self.n = n_steps
+        self.dir = out_dir
+        self.log_fn = log_fn
+        self._active = False
+        self._done = n_steps <= 0
+
+    def maybe_start(self, i: int) -> None:
+        if self._done or self._active or i != 1:
+            return
+        os.makedirs(self.dir, exist_ok=True)
+        jax.profiler.start_trace(self.dir)
+        self._active = True
+
+    def maybe_stop(self, i: int, metrics) -> None:
+        if not self._active or i < self.n:
+            return
+        # the dispatched steps must finish before the trace flushes, or
+        # the device timeline is truncated
+        jax.block_until_ready(metrics)
+        jax.profiler.stop_trace()
+        self._active, self._done = False, True
+        self.log_fn(f"profiled steps 1..{i} -> {self.dir} "
+                    "(TensorBoard profile plugin / xprof)")
+
+
+def _make_profiler(loop: "LoopConfig"):
+    return (StepProfiler(loop.profile_steps, loop.profile_dir, loop.log_fn)
+            if loop.profile_steps > 0 else None)
 
 
 def _latest_epoch_snapshot(weights_dir: str):
@@ -120,13 +161,18 @@ def _restore_continue(loop: LoopConfig, state, tcfg: TrainConfig):
     return state
 
 
-def _epoch_pass(step_fn, state, batches_iter, device_put=None):
+def _epoch_pass(step_fn, state, batches_iter, device_put=None,
+                profiler: Optional[StepProfiler] = None):
     # device_prefetch stages the next batch's H2D copy while the current
     # step computes (async dispatch); device_put=None uses jax.device_put
     losses = []
-    for batch in device_prefetch(batches_iter, device_put):
+    for i, batch in enumerate(device_prefetch(batches_iter, device_put)):
+        if profiler is not None:
+            profiler.maybe_start(i)
         state, m = step_fn(state, batch)
         losses.append(m)
+        if profiler is not None:
+            profiler.maybe_stop(i, m)
     return state, losses
 
 
@@ -270,12 +316,13 @@ def _train_amt_body(model, tcfg, loop, train_ds, val_ds, *, drop_loss,
     loader = PrefetchLoader(train_ds, loop.batch_size, shuffle=True,
                             seed=loop.seed)
     sharded = mesh is not None
+    profiler = _make_profiler(loop)
     for epoch in range(start_epoch, loop.epochs):
         t0 = time.time()
         train_iter = (_full_batches(loader, loop.batch_size, loop.log_fn)
                       if sharded else loader)
         state, _ = _epoch_pass(train_step, state, train_iter,
-                               device_put=device_put)
+                               device_put=device_put, profiler=profiler)
         train_m = (_eval_pass(eval_step, state, train_ds, loop.batch_size,
                               device_put, full_only=sharded,
                               log_fn=loop.log_fn)
@@ -343,9 +390,11 @@ def train_regression(model, tcfg: TrainConfig, loop: LoopConfig, train_ds,
     best_rmse = float("inf")
     loader = PrefetchLoader(train_ds, loop.batch_size, shuffle=True,
                             seed=loop.seed)
+    profiler = _make_profiler(loop)
     for epoch in range(loop.epochs):
         state, train_rows = _epoch_pass(
-            train_step, state, loader, device_put=device_put)
+            train_step, state, loader, device_put=device_put,
+            profiler=profiler)
         train_loss = float(np.mean([float(r["loss"]) for r in train_rows]))
 
         rows = []
@@ -410,10 +459,11 @@ def train_music_transformer(model, tcfg: TrainConfig, loop: LoopConfig,
     best_eval_loss = float("inf")
     loader = PrefetchLoader(train_ds, loop.batch_size, shuffle=True,
                             seed=loop.seed)
+    profiler = _make_profiler(loop)
     for epoch in range(loop.epochs):
         t0 = time.time()
         state, _ = _epoch_pass(train_step, state, loader,
-                               device_put=device_put)
+                               device_put=device_put, profiler=profiler)
         eval_m = _eval_pass(eval_step, state, val_ds, loop.batch_size,
                             device_put)
         loop.log_fn(f"epoch {epoch + 1}/{loop.epochs} "
