@@ -31,6 +31,7 @@ only n_sec chords yields identical muxed output with a sane standalone
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Dict, List, Optional
 
@@ -104,6 +105,20 @@ def _pad_to(arr: np.ndarray, length: int) -> np.ndarray:
         return arr[:length]
     pad_shape = (length - arr.shape[0],) + arr.shape[1:]
     return np.concatenate([arr, np.zeros(pad_shape, arr.dtype)], axis=0)
+
+
+def _gc_quiet(fn):
+    """Run the whole extraction (decode, resize loops, device fetches)
+    under ``video_io.gc_quiet``: with jax/flax's ~270k tracked objects
+    live, every ~1k host allocations trigger cyclic-GC passes costing
+    whole seconds (measured: a 60-frame cv2.resize loop is 2.1 s GC-on vs
+    0.21 s inside the guard). ``ClipStream`` guards its own decode loop;
+    this extends the guard over the tail flush + fetches (reentrant)."""
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with video_io.gc_quiet():
+            return fn(*args, **kwargs)
+    return wrapper
 
 
 class Video2music:
@@ -256,6 +271,7 @@ class Video2music:
         mv_cfg = self._maxvit_cfg or maxvit_t_config()
         return clip_cfg.vision.image_size, mv_cfg.image_size
 
+    @_gc_quiet
     def extract_features(self, video_path: str) -> Dict[str, np.ndarray]:
         """Video file -> feature dict (semantic, emotion, scene_offset,
         motion), each per-second, unpadded.
@@ -400,6 +416,7 @@ class Video2music:
         return {"semantic": semantic, "emotion": emotion,
                 "scene_offset": scene_offset, "motion": motion}
 
+    @_gc_quiet
     def extract_features_batch(self, video_paths) -> List[Dict[str, np.ndarray]]:
         """Feature extraction for SEVERAL clips through SHARED extractor
         programs — the serving-side analogue of ``generate_batch``.

@@ -57,6 +57,14 @@ def _gc_quiet():
                 gc.enable()
 
 
+# Public alias: host-side frame loops OUTSIDE this module (pipeline
+# extraction's resize/flush/fetch phases) pay the same multi-second GC tax
+# per ~1k allocations once jax/flax's ~270k tracked objects are live —
+# measured 2.1 s for a 60-iteration cv2.resize loop GC-on vs 0.2 s inside
+# this guard.
+gc_quiet = _gc_quiet
+
+
 def has_ffmpeg() -> bool:
     return shutil.which("ffmpeg") is not None
 
