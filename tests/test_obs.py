@@ -102,3 +102,153 @@ def test_key_detection_on_synthetic(tmp_path):
         models={"GaussianNB": GaussianNB()}, log=lambda *a: None)
     assert results["GaussianNB"]["Acc"] > 0.8
     assert os.path.exists(tmp_path / "models" / "GaussianNB.pkl")
+
+
+# ---------------------------------------------------------------------
+# First-party TensorBoard event writer (obs/tensorboard.py)
+
+
+def _decode_tfrecords(path):
+    """Independent TFRecord + protobuf decoder (no shared code with the
+    writer beyond the masked-CRC reference implementation)."""
+    import struct
+
+    from video2music_tpu.obs.tensorboard import masked_crc32c
+
+    records = []
+    with open(path, "rb") as f:
+        data = f.read()
+    off = 0
+    while off < len(data):
+        (length,) = struct.unpack_from("<Q", data, off)
+        (len_crc,) = struct.unpack_from("<I", data, off + 8)
+        assert len_crc == masked_crc32c(data[off:off + 8]), "length CRC"
+        payload = data[off + 12:off + 12 + length]
+        (crc,) = struct.unpack_from("<I", data, off + 12 + length)
+        assert crc == masked_crc32c(payload), "payload CRC"
+        records.append(payload)
+        off += 16 + length
+    assert off == len(data)
+    return records
+
+
+def _decode_event(buf):
+    """Parse Event{wall_time=1, step=2, file_version=3, summary=5} with
+    Summary{value=1{tag=1, simple_value=2}} from raw protobuf bytes."""
+    import struct
+
+    def fields(b):
+        out, i = [], 0
+        while i < len(b):
+            key, shift = 0, 0
+            while True:
+                byte = b[i]; i += 1
+                key |= (byte & 0x7F) << shift; shift += 7
+                if not byte & 0x80:
+                    break
+            field, wire = key >> 3, key & 7
+            if wire == 0:
+                v, shift = 0, 0
+                while True:
+                    byte = b[i]; i += 1
+                    v |= (byte & 0x7F) << shift; shift += 7
+                    if not byte & 0x80:
+                        break
+            elif wire == 1:
+                v = struct.unpack_from("<d", b, i)[0]; i += 8
+            elif wire == 5:
+                v = struct.unpack_from("<f", b, i)[0]; i += 4
+            elif wire == 2:
+                n, shift = 0, 0
+                while True:
+                    byte = b[i]; i += 1
+                    n |= (byte & 0x7F) << shift; shift += 7
+                    if not byte & 0x80:
+                        break
+                v = b[i:i + n]; i += n
+            else:  # pragma: no cover
+                raise AssertionError(f"wire type {wire}")
+            out.append((field, wire, v))
+        return out
+
+    ev = {}
+    for field, _, v in fields(buf):
+        if field == 1:
+            ev["wall_time"] = v
+        elif field == 2:
+            ev["step"] = v
+        elif field == 3:
+            ev["file_version"] = v.decode()
+        elif field == 5:
+            for f2, _, val in fields(v):
+                assert f2 == 1
+                for f3, _, x in fields(val):
+                    if f3 == 1:
+                        ev["tag"] = x.decode()
+                    elif f3 == 2:
+                        ev["value"] = x
+    return ev
+
+
+def test_crc32c_known_vectors():
+    from video2music_tpu.obs.tensorboard import crc32c
+
+    # RFC 3720 / public test vectors for CRC32C (Castagnoli)
+    assert crc32c(b"") == 0x00000000
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+
+
+def test_summary_writer_roundtrip(tmp_path):
+    from video2music_tpu.obs.tensorboard import SummaryWriter
+
+    w = SummaryWriter(str(tmp_path / "tb"))
+    w.add_scalar("Avg_CE_loss/eval", 1.25, 1)
+    w.add_scalar("Avg_CE_loss/eval", 0.5, 2)
+    w.add_scalar("Learn_rate/train", 3e-4, 2)
+    w.close()
+    assert os.path.basename(w.path).startswith("events.out.tfevents.")
+
+    records = _decode_tfrecords(w.path)
+    events = [_decode_event(r) for r in records]
+    assert events[0]["file_version"] == "brain.Event:2"
+    scalars = [(e["tag"], e["step"], e["value"]) for e in events[1:]]
+    assert scalars[0] == ("Avg_CE_loss/eval", 1, 1.25)
+    assert scalars[1] == ("Avg_CE_loss/eval", 2, 0.5)
+    assert scalars[2][0] == "Learn_rate/train" and scalars[2][1] == 2
+    assert abs(scalars[2][2] - 3e-4) < 1e-9
+    assert all(e["wall_time"] > 1.7e9 for e in events)
+
+
+def test_train_amt_writes_tensorboard(tmp_path):
+    """LoopConfig.tensorboard_dir streams the reference's per-epoch tags
+    (train.py:349-357) through the first-party writer."""
+    from tests.test_data import _write_fixture_tree
+    from video2music_tpu.core.config import TrainConfig, amt_config
+    from video2music_tpu.data import create_vevo_datasets
+    from video2music_tpu.models import VideoMusicTransformer
+    from video2music_tpu.train.loop import LoopConfig, train_amt
+
+    root = tmp_path / "d"
+    _write_fixture_tree(str(root), ["aaa", "bbb"])
+    train_ds, val_ds, _ = create_vevo_datasets(str(root), max_seq_chord=10,
+                                               max_seq_video=10)
+    cfg = amt_config(None, n_layers=1, num_heads=2, d_model=16, d_ff=32,
+                     max_seq_video=10, max_seq_chord=10,
+                     total_vf_dim=776, dropout=0.0)
+    tb_dir = str(tmp_path / "tb")
+    loop = LoopConfig(epochs=2, batch_size=2,
+                      output_dir=str(tmp_path / "o"),
+                      tensorboard_dir=tb_dir, log_fn=lambda s: None)
+    train_amt(VideoMusicTransformer(cfg=cfg),
+              TrainConfig(optimizer="adam", lr=1e-3), loop,
+              train_ds, val_ds)
+    files = os.listdir(tb_dir)
+    assert len(files) == 1
+    events = [_decode_event(r) for r in
+              _decode_tfrecords(os.path.join(tb_dir, files[0]))]
+    tags = [e.get("tag") for e in events[1:]]
+    # 2 epochs x 4 reference tags, steps 1-based
+    assert tags == ["Avg_CE_loss/eval", "Avg_CE_loss_chord/eval",
+                    "Avg_CE_loss_emotion/eval", "Learn_rate/train"] * 2
+    assert [e["step"] for e in events[1:]] == [1, 1, 1, 1, 2, 2, 2, 2]

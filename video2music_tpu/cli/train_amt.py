@@ -7,6 +7,7 @@ Flag names mirror the reference's ``parse_train_args``
 from __future__ import annotations
 
 import argparse
+import os
 
 from ..core import constants as C
 from ..core.config import TrainConfig, amt_config
@@ -70,6 +71,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(step 0 compiles) into -profile_dir; view with "
                         "TensorBoard's profile plugin / xprof")
     p.add_argument("-profile_dir", default="./profile")
+    p.add_argument("-no_tensorboard", action="store_true",
+                   help="disable the TensorBoard scalar stream (written by "
+                        "the first-party event writer in obs/tensorboard.py "
+                        "to <output_dir>/tensorboard; on by default like "
+                        "the reference train.py:91-96)")
     p.add_argument("-microbatches", type=int, default=4,
                    help="pipeline microbatches per step (-parallel pp)")
     return p
@@ -92,7 +98,10 @@ def main(argv=None):
                       eval_train_subset=not args.augmentation,
                       continue_from=args.continue_weights, seed=args.seed,
                       profile_steps=args.profile,
-                      profile_dir=args.profile_dir)
+                      profile_dir=args.profile_dir,
+                      tensorboard_dir=(
+                          None if args.no_tensorboard else
+                          os.path.join(args.output_dir, "tensorboard")))
     if args.music_only:
         from ..core.config import MusicTransformerConfig
         mcfg = MusicTransformerConfig(

@@ -93,7 +93,20 @@ class LoopConfig:
     # profile plugin / xprof.
     profile_steps: int = 0
     profile_dir: str = "./profile"
+    # TensorBoard scalar stream (reference: train.py:90-96,349-357 — on by
+    # default there, opt-out via --no_tensorboard). Event files come from
+    # the first-party writer in obs/tensorboard.py (no tensorboard dep);
+    # None disables. The same reference tags are written per epoch.
+    tensorboard_dir: Optional[str] = None
     log_fn: Callable[[str], None] = print
+
+
+def _make_tb(loop: "LoopConfig"):
+    if not loop.tensorboard_dir:
+        return None
+    from ..obs.tensorboard import SummaryWriter
+
+    return SummaryWriter(loop.tensorboard_dir)
 
 
 class StepProfiler:
@@ -317,6 +330,7 @@ def _train_amt_body(model, tcfg, loop, train_ds, val_ds, *, drop_loss,
                             seed=loop.seed)
     sharded = mesh is not None
     profiler = _make_profiler(loop)
+    tb = _make_tb(loop)
     for epoch in range(start_epoch, loop.epochs):
         t0 = time.time()
         train_iter = (_full_batches(loader, loop.batch_size, loop.log_fn)
@@ -336,6 +350,16 @@ def _train_amt_body(model, tcfg, loop, train_ds, val_ds, *, drop_loss,
             f"val_loss={eval_m['loss']:.4f} h1={eval_m['hits@1']:.4f} "
             f"h3={eval_m['hits@3']:.4f} h5={eval_m['hits@5']:.4f} "
             f"({time.time() - t0:.1f}s)")
+        if tb is not None:
+            # same tags and 1-based step as the reference (train.py:349-357;
+            # its train-side lines are commented out there too)
+            tb.add_scalar("Avg_CE_loss/eval", eval_m["loss"], epoch + 1)
+            tb.add_scalar("Avg_CE_loss_chord/eval", eval_m["loss_chord"],
+                          epoch + 1)
+            tb.add_scalar("Avg_CE_loss_emotion/eval",
+                          eval_m["loss_emotion"], epoch + 1)
+            tb.add_scalar("Learn_rate/train", lr, epoch + 1)
+            tb.flush()
 
         if eval_m["loss"] < best_eval_loss:
             best_eval_loss, best_epoch = eval_m["loss"], epoch + 1
@@ -359,6 +383,8 @@ def _train_amt_body(model, tcfg, loop, train_ds, val_ds, *, drop_loss,
                 eval_m["loss"], eval_m["loss_chord"], eval_m["loss_emotion"],
                 eval_m["hits@1"], eval_m["hits@3"], eval_m["hits@5"],
             ])
+    if tb is not None:
+        tb.close()
     return state
 
 
