@@ -365,3 +365,43 @@ def test_sequence_parallel_train_step_matches_single_device(rng):
     assert ('sharding_constraint' in lowered.as_text()
             and '<@mesh, [{"data"}, {"model"}, {}]>' in lowered.as_text())
     del compiled
+
+
+def test_wire_bf16_batch_matches_in_graph_cast(rng):
+    """Shipping bf16 float inputs (wire_bf16_batch) is bit-identical to
+    shipping f32 and casting in-graph (_maybe_bf16_batch): both round
+    f32->bf16 once, nearest-even. Targets stay f32 on the wire."""
+    from video2music_tpu.train import wire_bf16_batch
+
+    model = _tiny_amt()
+    tcfg = TrainConfig(optimizer="adam", lr=1e-3, mixed_precision=True)
+    tx = make_optimizer(tcfg, d_model=16)
+    batch_np = {k: np.asarray(v) for k, v in _amt_batch(rng).items()}
+    wired = wire_bf16_batch(batch_np)
+    assert wired["semantic"].dtype == jnp.bfloat16
+    assert wired["tgt_emotion_prob"].dtype == np.float32
+    assert wired["x"].dtype == batch_np["x"].dtype
+
+    state_a = create_train_state(model, tx, jax.random.PRNGKey(0), batch_np)
+    state_b = create_train_state(model, tx, jax.random.PRNGKey(0), batch_np)
+    step = make_amt_train_step(model, tx, tcfg)
+    losses_a, losses_b = [], []
+    for _ in range(3):
+        state_a, m = jax.jit(step)(state_a, jax.device_put(batch_np))
+        losses_a.append(float(m["loss"]))
+        state_b, m = jax.jit(step)(state_b, jax.device_put(wired))
+        losses_b.append(float(m["loss"]))
+    np.testing.assert_array_equal(losses_a, losses_b)
+
+
+def test_train_put_wraps_only_mixed(rng):
+    from video2music_tpu.train.loop import _train_put
+
+    plain = TrainConfig(optimizer="adam", lr=1e-3)
+    assert _train_put(plain, None) is None
+    mixed = TrainConfig(optimizer="adam", lr=1e-3, mixed_precision=True)
+    put = _train_put(mixed, None)
+    out = put({"semantic": np.ones((2, 3), np.float32),
+               "tgt": np.ones((2,), np.float32)})
+    assert out["semantic"].dtype == jnp.bfloat16
+    assert out["tgt"].dtype == jnp.float32

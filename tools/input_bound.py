@@ -100,21 +100,29 @@ def main():
         float(m["loss"])
         return (time.perf_counter() - t0) / args.steps * 1000
 
-    staged = jax.device_put(batches[0])
-    a = timed(staged for _ in range(args.steps))
-    b = timed(jax.device_put(bb) for bb in batches)
-    c = timed(device_prefetch(iter(batches)))
-    # second pass each to shake one-off effects, keep the better
-    a = min(a, timed(staged for _ in range(args.steps)))
-    b = min(b, timed(jax.device_put(bb) for bb in batches))
-    c = min(c, timed(device_prefetch(iter(batches))))
+    from video2music_tpu.train.step import wire_bf16_batch
 
-    print(f"A device-resident: {a:.1f} ms/step")
-    print(f"B naive host feed: {b:.1f} ms/step  "
-          f"(input adds {(b - a) / a * 100:.0f}%)")
-    print(f"C device_prefetch: {c:.1f} ms/step  "
-          f"(hides {(b - c) / (b - a) * 100:.0f}% of the input cost)"
-          if b > a else f"C device_prefetch: {c:.1f} ms/step")
+    # warm the bf16-input program variant (wire_bf16_batch changes the
+    # float input avals -> one extra compile)
+    state, m = step(state, jax.device_put(wire_bf16_batch(batches[0])))
+    float(m["loss"])
+
+    staged = jax.device_put(batches[0])
+    legs = {
+        "A device-resident": lambda: (staged for _ in range(args.steps)),
+        "B naive f32 feed": lambda: (jax.device_put(bb) for bb in batches),
+        "C prefetch f32": lambda: device_prefetch(iter(batches)),
+        "D naive bf16 wire": lambda: (
+            jax.device_put(wire_bf16_batch(bb)) for bb in batches),
+        "E prefetch bf16 wire": lambda: device_prefetch(
+            (wire_bf16_batch(bb) for bb in batches)),
+    }
+    # two passes each, keep the better (shakes one-off effects)
+    results = {k: min(timed(mk()), timed(mk())) for k, mk in legs.items()}
+    a = results["A device-resident"]
+    for name, t in results.items():
+        extra = f"  (input adds {(t - a) / a * 100:.0f}%)" if t > a else ""
+        print(f"{name}: {t:.1f} ms/step{extra}")
 
 
 if __name__ == "__main__":

@@ -174,6 +174,20 @@ def _restore_continue(loop: LoopConfig, state, tcfg: TrainConfig):
     return state
 
 
+def _train_put(tcfg, device_put):
+    """Train-pass staging: with mixed precision, float inputs ship bf16
+    (``wire_bf16_batch`` — the step casts them in-graph anyway, so this is
+    numerically identical at half the H2D bytes; at B=16 the AMT batch is
+    28 MB and transfer dominates the 54 ms step through a tunneled
+    device). Eval passes keep the plain put — eval forwards run f32."""
+    if not getattr(tcfg, "mixed_precision", False):
+        return device_put
+    from .step import wire_bf16_batch
+
+    base = device_put if device_put is not None else jax.device_put
+    return lambda b: base(wire_bf16_batch(b))
+
+
 def _epoch_pass(step_fn, state, batches_iter, device_put=None,
                 profiler: Optional[StepProfiler] = None):
     # device_prefetch stages the next batch's H2D copy while the current
@@ -336,7 +350,8 @@ def _train_amt_body(model, tcfg, loop, train_ds, val_ds, *, drop_loss,
         train_iter = (_full_batches(loader, loop.batch_size, loop.log_fn)
                       if sharded else loader)
         state, _ = _epoch_pass(train_step, state, train_iter,
-                               device_put=device_put, profiler=profiler)
+                               device_put=_train_put(tcfg, device_put),
+                               profiler=profiler)
         train_m = (_eval_pass(eval_step, state, train_ds, loop.batch_size,
                               device_put, full_only=sharded,
                               log_fn=loop.log_fn)
@@ -419,8 +434,8 @@ def train_regression(model, tcfg: TrainConfig, loop: LoopConfig, train_ds,
     profiler = _make_profiler(loop)
     for epoch in range(loop.epochs):
         state, train_rows = _epoch_pass(
-            train_step, state, loader, device_put=device_put,
-            profiler=profiler)
+            train_step, state, loader,
+            device_put=_train_put(tcfg, device_put), profiler=profiler)
         train_loss = float(np.mean([float(r["loss"]) for r in train_rows]))
 
         rows = []
@@ -489,7 +504,8 @@ def train_music_transformer(model, tcfg: TrainConfig, loop: LoopConfig,
     for epoch in range(loop.epochs):
         t0 = time.time()
         state, _ = _epoch_pass(train_step, state, loader,
-                               device_put=device_put, profiler=profiler)
+                               device_put=_train_put(tcfg, device_put),
+                               profiler=profiler)
         eval_m = _eval_pass(eval_step, state, val_ds, loop.batch_size,
                             device_put)
         loop.log_fn(f"epoch {epoch + 1}/{loop.epochs} "

@@ -27,6 +27,7 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -84,13 +85,31 @@ def _maybe_bf16(params, tcfg: TrainConfig):
     return _cast_bf16(params)
 
 
+# targets stay f32 — losses reduce in f32
+_F32_TARGET_KEYS = frozenset({
+    "tgt", "tgt_root", "tgt_attr", "tgt_emotion", "tgt_emotion_prob",
+    "note_density", "loudness", "instrument"})
+
+
 def _maybe_bf16_batch(batch, tcfg: TrainConfig):
     if not tcfg.mixed_precision:
         return batch
-    # targets stay f32 — losses reduce in f32
-    keep = {"tgt", "tgt_root", "tgt_attr", "tgt_emotion",
-            "tgt_emotion_prob", "note_density", "loudness", "instrument"}
-    return {k: (v if k in keep else _cast_bf16(v))
+    return {k: (v if k in _F32_TARGET_KEYS else _cast_bf16(v))
+            for k, v in batch.items()}
+
+
+def wire_bf16_batch(batch: dict) -> dict:
+    """Host-side bf16 cast of the float inputs a mixed-precision step
+    casts in-graph anyway (``_maybe_bf16_batch``) — numerically identical,
+    half the H2D bytes. Matters through tunneled devices where transfer
+    dominates: at B=16 the full AMT batch is 28 MB (semantic 14.7 MB +
+    motion 9.8 MB f32) against a ~55 MB/s H2D link, ~13x the 54 ms step.
+    Target keys stay f32 (losses reduce in f32)."""
+    import ml_dtypes  # jax dependency; numpy-compatible bfloat16 dtype
+
+    return {k: (v.astype(ml_dtypes.bfloat16)
+                if k not in _F32_TARGET_KEYS
+                and hasattr(v, "dtype") and v.dtype == np.float32 else v)
             for k, v in batch.items()}
 
 
