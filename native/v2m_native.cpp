@@ -15,6 +15,7 @@
 // root*13 + quality + 1 over ROOTS x QUALITIES; "N"=0; END=157; PAD=158.
 
 #include <cstdint>
+#include <cmath>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -205,6 +206,222 @@ int32_t v2m_parse_chord_lab(const char* path, int64_t* chord_out,
   std::free(buf);
   return count;
 }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Scene-content scorer: fused uint8 HSV conversion + |delta| mean vs the
+// previous frame's HSV planes, in ONE strided pass over the source frame.
+//
+// Replaces the per-frame cv2 chain in features/scene.py:ContentScorer
+// (ascontiguousarray copy -> cvtColor -> absdiff -> np.mean: four passes and
+// three temporaries per frame; the scorer was ~1.3 s of the 60 s-clip e2e
+// budget on the 1-core host). The HSV math is bit-exact OpenCV RGB2HSV_b
+// fixed-point semantics (hsv_shift=12 rounding tables, no hue wraparound in
+// the delta — the scenedetect 0.6.1 quirk lives in the |h1-h2| delta, which
+// this reproduces by storing the same integer H plane cv2 would produce).
+// Parity is enforced by tests/test_features.py against the cv2 path.
+
+namespace {
+
+struct HsvTables {
+  int sdiv[256];
+  int hdiv[256];
+  HsvTables() {
+    // OpenCV builds these with saturate_cast<int>(double) == cvRound:
+    // round-to-nearest (ties to even), NOT truncation — lrint under the
+    // default FE_TONEAREST mode matches it bit-for-bit.
+    sdiv[0] = hdiv[0] = 0;
+    for (int i = 1; i < 256; ++i) {
+      sdiv[i] = static_cast<int>(std::lrint((255 << 12) / (1.0 * i)));
+      hdiv[i] = static_cast<int>(std::lrint((180 << 12) / (6.0 * i)));
+    }
+  }
+};
+
+inline void pixel_to_hsv(int r, int g, int b, const HsvTables& t,
+                         uint8_t* dst) {
+  int v = b > g ? b : g;
+  if (r > v) v = r;
+  int vmin = b < g ? b : g;
+  if (r < vmin) vmin = r;
+  int diff = v - vmin;
+  int vr = v == r ? -1 : 0;
+  int vg = v == g ? -1 : 0;
+  int s = (diff * t.sdiv[v] + (1 << 11)) >> 12;
+  int h = (vr & (g - b)) +
+          (~vr & ((vg & (b - r + 2 * diff)) + (~vg & (r - g + 4 * diff))));
+  h = (h * t.hdiv[diff] + (1 << 11)) >> 12;
+  h += h < 0 ? 180 : 0;
+  dst[0] = static_cast<uint8_t>(h);
+  dst[1] = static_cast<uint8_t>(s);
+  dst[2] = static_cast<uint8_t>(v);
+}
+
+void convert_row_scalar(const uint8_t* src, uint8_t* dst, int32_t x0,
+                        int32_t w, int64_t col_stride, int ridx, int bidx,
+                        const HsvTables& t) {
+  for (int32_t x = x0; x < w; ++x) {
+    const uint8_t* px = src + x * col_stride;
+    pixel_to_hsv(px[ridx], px[1], px[bidx], t, dst + x * 3);
+  }
+}
+
+}  // namespace
+
+// --- AVX2 fast path ---------------------------------------------------------
+// Per 8 pixels: ONE vpgatherdd pulls whole little-endian BGR dwords straight
+// off the strided source row (no deinterleave, no contiguous copy), two more
+// gathers do the sdiv/hdiv fixed-point table lookups, and the 3 output bytes
+// per lane are packed with an in-lane byte shuffle + overlapping 16-byte
+// stores. The |cur - prev| reduction is a second contiguous pass using
+// max/min(epu8) + vpsadbw. Bit-exact with the scalar path (and cv2) —
+// dispatched at runtime, scalar fallback kept for non-AVX2 hosts.
+
+#pragma GCC push_options
+#pragma GCC target("avx2")
+#include <immintrin.h>
+
+namespace {
+
+// Convert pixels [0, bound) of one row; caller finishes [bound, w) scalar.
+// bound must satisfy: gathers read 4 bytes at (x+7)*col_stride and the
+// second 16-byte store reaches dst + (x*3 + 28) — callers pick bound so
+// both stay inside the frame / cur_hsv allocations.
+__attribute__((target("avx2")))
+void convert_row_avx2(const uint8_t* src, uint8_t* dst, int32_t bound,
+                      int64_t col_stride, int ridx, int bidx,
+                      const HsvTables& t) {
+  const __m256i lane_off = _mm256_mullo_epi32(
+      _mm256_set1_epi32(static_cast<int32_t>(col_stride)),
+      _mm256_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7));
+  const __m256i c255 = _mm256_set1_epi32(255);
+  const __m256i c2048 = _mm256_set1_epi32(1 << 11);
+  const __m256i c180 = _mm256_set1_epi32(180);
+  // pack byte 0,1,2 of each dword lane into 12 contiguous bytes (per
+  // 128-bit half)
+  const __m256i pack3 = _mm256_setr_epi8(
+      0, 1, 2, 4, 5, 6, 8, 9, 10, 12, 13, 14, -1, -1, -1, -1,
+      0, 1, 2, 4, 5, 6, 8, 9, 10, 12, 13, 14, -1, -1, -1, -1);
+  for (int32_t x = 0; x + 8 <= bound; x += 8) {
+    const uint8_t* base = src + x * col_stride;
+    __m256i px = _mm256_i32gather_epi32(
+        reinterpret_cast<const int*>(base), lane_off, 1);
+    __m256i r = _mm256_and_si256(
+        _mm256_srli_epi32(px, 8 * ridx), c255);
+    __m256i g = _mm256_and_si256(_mm256_srli_epi32(px, 8), c255);
+    __m256i b = _mm256_and_si256(
+        _mm256_srli_epi32(px, 8 * bidx), c255);
+    __m256i v = _mm256_max_epi32(_mm256_max_epi32(r, g), b);
+    __m256i vmin = _mm256_min_epi32(_mm256_min_epi32(r, g), b);
+    __m256i diff = _mm256_sub_epi32(v, vmin);
+    __m256i sdiv = _mm256_i32gather_epi32(t.sdiv, v, 4);
+    __m256i hdiv = _mm256_i32gather_epi32(t.hdiv, diff, 4);
+    __m256i s = _mm256_srli_epi32(
+        _mm256_add_epi32(_mm256_mullo_epi32(diff, sdiv), c2048), 12);
+    __m256i vr = _mm256_cmpeq_epi32(v, r);
+    __m256i vg = _mm256_cmpeq_epi32(v, g);
+    __m256i t2 = _mm256_add_epi32(_mm256_sub_epi32(b, r),
+                                  _mm256_slli_epi32(diff, 1));
+    __m256i t3 = _mm256_add_epi32(_mm256_sub_epi32(r, g),
+                                  _mm256_slli_epi32(diff, 2));
+    __m256i hnum = _mm256_blendv_epi8(
+        _mm256_blendv_epi8(t3, t2, vg), _mm256_sub_epi32(g, b), vr);
+    __m256i hh = _mm256_srai_epi32(
+        _mm256_add_epi32(_mm256_mullo_epi32(hnum, hdiv), c2048), 12);
+    hh = _mm256_add_epi32(
+        hh, _mm256_and_si256(_mm256_srai_epi32(hh, 31), c180));
+    __m256i hsv = _mm256_or_si256(
+        hh, _mm256_or_si256(_mm256_slli_epi32(s, 8),
+                            _mm256_slli_epi32(v, 16)));
+    __m256i packed = _mm256_shuffle_epi8(hsv, pack3);
+    uint8_t* out = dst + x * 3;
+    // overlapping stores: bytes 12..15 of each half are garbage and get
+    // overwritten by the next store / scalar tail (bound guarantees room)
+    _mm_storeu_si128(reinterpret_cast<__m128i*>(out),
+                     _mm256_castsi256_si128(packed));
+    _mm_storeu_si128(reinterpret_cast<__m128i*>(out + 12),
+                     _mm256_extracti128_si256(packed, 1));
+  }
+}
+
+// sum of |a - b| over n bytes (both contiguous)
+__attribute__((target("avx2")))
+int64_t absdiff_sum_avx2(const uint8_t* a, const uint8_t* b, int64_t n) {
+  __m256i acc = _mm256_setzero_si256();
+  int64_t i = 0;
+  for (; i + 32 <= n; i += 32) {
+    __m256i va = _mm256_loadu_si256(reinterpret_cast<const __m256i*>(a + i));
+    __m256i vb = _mm256_loadu_si256(reinterpret_cast<const __m256i*>(b + i));
+    __m256i d = _mm256_sub_epi8(_mm256_max_epu8(va, vb),
+                                _mm256_min_epu8(va, vb));
+    acc = _mm256_add_epi64(acc, _mm256_sad_epu8(d, _mm256_setzero_si256()));
+  }
+  alignas(32) int64_t lanes[4];
+  _mm256_store_si256(reinterpret_cast<__m256i*>(lanes), acc);
+  int64_t total = lanes[0] + lanes[1] + lanes[2] + lanes[3];
+  for (; i < n; ++i) {
+    int d = static_cast<int>(a[i]) - static_cast<int>(b[i]);
+    total += d < 0 ? -d : d;
+  }
+  return total;
+}
+
+}  // namespace
+#pragma GCC pop_options
+
+extern "C" {
+
+// frame: 8-bit 3-channel, arbitrary row/col strides in BYTES (channel
+// stride must be 1) — downscaled numpy views pass straight through, no
+// contiguous copy. prev_hsv/cur_hsv: caller-owned h*w*3 C-contiguous
+// buffers. Fills cur_hsv with the OpenCV-exact integer HSV planes and
+// returns sum(|cur - prev|) over all channels (caller divides for the
+// mean), or 0 when has_prev == 0.
+int64_t v2m_hsv_score(const uint8_t* frame, int32_t h, int32_t w,
+                      int64_t row_stride, int64_t col_stride,
+                      int32_t is_bgr, const uint8_t* prev_hsv,
+                      uint8_t* cur_hsv, int32_t has_prev) {
+  static const HsvTables tables;
+  static const bool have_avx2 = __builtin_cpu_supports("avx2");
+  const int ridx = is_bgr ? 2 : 0;  // red channel offset within a pixel
+  const int bidx = 2 - ridx;
+  // positive strides only (flipped views take the scalar path — the
+  // last-row bounds reasoning below assumes memory order == index order);
+  // col_stride capped so the 8-lane epi32 gather offsets cannot overflow
+  const bool avx2 = have_avx2 && col_stride > 0 && row_stride > 0 &&
+                    col_stride <= (1 << 28);
+  for (int32_t y = 0; y < h; ++y) {
+    const uint8_t* src = frame + y * row_stride;
+    uint8_t* dst = cur_hsv + static_cast<int64_t>(y) * w * 3;
+    if (avx2) {
+      // Last row: the 8-px source gather reads 4 bytes at the last lane
+      // (1 past its pixel) and the packed store writes 16 bytes from
+      // x*3+12 — keep both inside the allocations by finishing the final
+      // pixels scalar. Inner rows have following data, so only the store
+      // constraint (next row of cur_hsv exists: +4 slack) applies.
+      int32_t bound = (y == h - 1) ? (w > 10 ? w - 10 : 0) : w;
+      convert_row_avx2(src, dst, bound, col_stride, ridx, bidx, tables);
+      convert_row_scalar(src, dst, bound & ~7, w, col_stride, ridx, bidx,
+                         tables);
+    } else {
+      convert_row_scalar(src, dst, 0, w, col_stride, ridx, bidx, tables);
+    }
+  }
+  if (!has_prev) return 0;
+  const int64_t n = static_cast<int64_t>(h) * w * 3;
+  if (avx2) return absdiff_sum_avx2(cur_hsv, prev_hsv, n);
+  int64_t total = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int d = static_cast<int>(cur_hsv[i]) - static_cast<int>(prev_hsv[i]);
+    total += d < 0 ? -d : d;
+  }
+  return total;
+}
+
+}  // extern "C"
+
+extern "C" {
 
 // Parse an instrument csv (header + binary rows) into
 // out[max_seq * n_cols]. Returns rows written or -1.

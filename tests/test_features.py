@@ -278,6 +278,64 @@ def test_scene_detector_edge_frames_never_cut(rng):
     assert detect_cuts(clip) == []
 
 
+def test_content_scorer_native_cv2_numpy_parity(rng):
+    """The native fused kernel must be BIT-IDENTICAL to the cv2 chain on
+    uint8 input (it replicates OpenCV's RGB2HSV_b fixed-point math —
+    cvRound tables, hsv_shift=12 — exactly), so cuts can never depend on
+    which of the two ran (native/v2m_native.cpp:v2m_hsv_score). The numpy
+    float fallback is only approximately equal (float HSV vs integer HSV),
+    as it always was vs cv2."""
+    from video2music_tpu.features.scene import ContentScorer
+    from video2music_tpu.data import native
+    if not native.available():
+        pytest.skip("native library unavailable")
+    # odd width exercises the AVX2 scalar tail; downscale=True exercises
+    # the strided-view path (factor 2 on a 520-wide frame)
+    frames = [rng.integers(0, 256, (36, 520, 3), np.uint8)
+              for _ in range(12)]
+    for bgr in (False, True):
+        runs = []
+        for backend in ("native", "cv2", "numpy"):
+            s = ContentScorer(bgr=bgr)
+            if backend != "native":
+                s._native = None
+            if backend == "numpy":
+                s._cv2 = None
+            for f in frames:
+                s.update(f)
+            if backend == "native":
+                assert s._native is not None, "native path fell back"
+            runs.append(s.scores())
+        np.testing.assert_array_equal(runs[0], runs[1])
+        np.testing.assert_allclose(runs[0], runs[2], rtol=0.02, atol=0.5)
+
+
+def test_content_scorer_native_hsv_matches_cv2_bit_exact(rng):
+    """Raw kernel check: HSV planes and the absdiff mean against cv2 on
+    random shapes, strided and flipped (negative-stride) views."""
+    cv2 = pytest.importorskip("cv2")
+    from video2music_tpu.data import native
+    if not native.available():
+        pytest.skip("native library unavailable")
+    for trial in range(12):
+        h, w = rng.integers(2, 90, 2)
+        frame = rng.integers(0, 256, (h, w, 3), np.uint8)
+        if trial % 3 == 1:
+            big = rng.integers(0, 256, (h * 2, w * 3, 3), np.uint8)
+            frame = big[::2, ::3]
+        if trial % 3 == 2:
+            frame = frame[::-1]  # negative row stride -> scalar path
+        for bgr in (False, True):
+            code = cv2.COLOR_BGR2HSV if bgr else cv2.COLOR_RGB2HSV
+            ref = cv2.cvtColor(np.ascontiguousarray(frame), code)
+            cur = np.empty((frame.shape[0], frame.shape[1], 3), np.uint8)
+            assert native.hsv_score(frame, None, cur, bgr) == 0.0
+            np.testing.assert_array_equal(cur, ref)
+            prev = rng.integers(0, 256, cur.shape, np.uint8)
+            got = native.hsv_score(frame, prev, cur, bgr)
+            assert got == float(np.mean(cv2.absdiff(ref, prev)))
+
+
 def test_uint8_preprocess_matches_float_path(rng):
     """Host resize/crop (uint8) + in-graph normalize == the one-shot float
     preprocess — the H2D-lean serving path must be numerically identical."""

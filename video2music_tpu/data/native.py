@@ -59,6 +59,11 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.v2m_parse_instrument_csv.argtypes = [
             ctypes.c_char_p, f32p, ctypes.c_int32, ctypes.c_int32]
         lib.v2m_parse_instrument_csv.restype = ctypes.c_int32
+        lib.v2m_hsv_score.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32]
+        lib.v2m_hsv_score.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -103,6 +108,33 @@ def parse_chord_lab(path: str, max_seq: int
     if rc < 0:
         return None
     return chord, root, attr, int(key.value), int(last.value)
+
+
+def hsv_score(frame: np.ndarray, prev_hsv: Optional[np.ndarray],
+              cur_hsv: np.ndarray, bgr: bool) -> Optional[float]:
+    """Fused OpenCV-exact uint8 HSV convert + mean |delta| vs ``prev_hsv``
+    (features/scene.py's per-frame content score) in one native pass.
+
+    ``frame`` may be any (H, W, 3) uint8 view with unit channel stride —
+    downscaled slices pass through without a contiguous copy. Fills
+    ``cur_hsv`` (C-contiguous (H, W, 3) uint8) with the HSV planes; returns
+    the mean over all channels (0.0 for the first frame), or None when the
+    native library is unavailable or the layout unsupported (caller falls
+    back to cv2/numpy)."""
+    lib = _load()
+    if lib is None:
+        return None
+    if (frame.dtype != np.uint8 or frame.ndim != 3 or frame.shape[2] != 3
+            or frame.strides[2] != 1):
+        return None
+    h, w = frame.shape[:2]
+    total = lib.v2m_hsv_score(
+        ctypes.c_void_p(frame.ctypes.data), h, w,
+        frame.strides[0], frame.strides[1], 1 if bgr else 0,
+        ctypes.c_void_p(0 if prev_hsv is None else prev_hsv.ctypes.data),
+        ctypes.c_void_p(cur_hsv.ctypes.data),
+        0 if prev_hsv is None else 1)
+    return total / (h * w * 3.0)
 
 
 def parse_instrument_csv(path: str, max_seq: int) -> Optional[np.ndarray]:

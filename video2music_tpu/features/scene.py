@@ -92,10 +92,21 @@ class ContentScorer:
     Identical math to :func:`content_scores`, which is now a thin loop
     over this class.
 
-    Fast path: cv2's SIMD uint8 HSV conversion + absdiff (the same
-    integer HSV planes scenedetect 0.6.1 itself scores — measured ~150x
-    over the whole-clip numpy-float pass). Numpy float conversion is the
-    no-cv2 fallback.
+    Fast paths, in preference order:
+
+    1. the native fused kernel (``native/v2m_native.cpp:v2m_hsv_score``):
+       OpenCV-bit-exact integer HSV conversion + |delta| accumulation in
+       ONE strided C pass — no contiguous copy, no temporaries, no
+       per-frame Python work beyond a single ctypes call (the cv2 chain
+       below is four passes and three allocations per frame);
+    2. cv2's SIMD uint8 HSV conversion + absdiff (the same integer HSV
+       planes scenedetect 0.6.1 itself scores — measured ~150x over the
+       whole-clip numpy-float pass);
+    3. numpy float conversion (no cv2, no toolchain).
+
+    Paths 1 and 2 produce bit-identical scores on uint8 input
+    (parity-tested in tests/test_features.py); the float fallback agrees
+    approximately (float vs integer HSV rounding).
     """
 
     def __init__(self, *, bgr: bool = False, downscale: bool = True,
@@ -106,11 +117,40 @@ class ContentScorer:
         self._factor: Optional[int] = None
         self._prev = None
         self._scores: List[float] = [ ]
+        self._native_bufs = None  # (prev_hsv, cur_hsv) once shaped
+        try:
+            from ..data import native
+            self._native = native if native.available() else None
+        except Exception:
+            self._native = None
         try:
             import cv2
             self._cv2 = cv2
         except ImportError:
             self._cv2 = None
+
+    def _native_update(self, frame: np.ndarray) -> bool:
+        """Score via the fused C kernel; False -> caller falls back."""
+        if self._native is None or frame.dtype != np.uint8 \
+                or frame.strides[-1] != 1:
+            return False
+        if self._native_bufs is None:
+            shape = (frame.shape[0], frame.shape[1], 3)
+            self._native_bufs = (np.empty(shape, np.uint8),
+                                 np.empty(shape, np.uint8))
+        prev_hsv, cur_hsv = self._native_bufs
+        if cur_hsv.shape[:2] != frame.shape[:2]:
+            return False
+        score = self._native.hsv_score(
+            frame, prev_hsv if self._prev is not None else None, cur_hsv,
+            self.bgr)
+        if score is None:
+            return False
+        self._scores.append(0.0 if self._prev is None else score)
+        # swap: cur becomes prev for the next frame
+        self._native_bufs = (cur_hsv, prev_hsv)
+        self._prev = cur_hsv
+        return True
 
     def update(self, frame: np.ndarray) -> None:
         if self._factor is None:
@@ -118,6 +158,12 @@ class ContentScorer:
                             if self.downscale else 1)
         if self._factor > 1:
             frame = frame[::self._factor, ::self._factor]
+        if self._native_update(frame):
+            return
+        # fall back consistently: _prev (a valid HSV array either way)
+        # carries over, but never resume the native path mid-stream —
+        # its double buffers would no longer hold the last frame's HSV
+        self._native = None
         cv2 = self._cv2
         if cv2 is not None and frame.dtype == np.uint8:
             code = cv2.COLOR_BGR2HSV if self.bgr else cv2.COLOR_RGB2HSV
