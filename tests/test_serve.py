@@ -284,6 +284,129 @@ def test_submit_control_hot_reload_runs_on_worker(tiny_v2m, tmp_path):
         batcher.stop()
 
 
+def _stall_worker(batcher):
+    """Block the batcher worker inside a control op until the returned
+    event is set — lets a test enqueue requests while nothing drains."""
+    gate = threading.Event()
+    entered = threading.Event()
+
+    def ctl(_v2m):
+        entered.set()
+        gate.wait(timeout=60)
+
+    batcher.submit_control(ctl)
+    assert entered.wait(timeout=60)
+    return gate
+
+
+def test_priority_requests_gather_first(tiny_v2m, tmp_path):
+    """With the worker stalled, queued requests drain in priority order
+    (FIFO within a class) — the high-priority latecomer decodes in the
+    first batch."""
+    batcher = DynamicBatcher(tiny_v2m, max_batch=1, max_wait_ms=1,
+                             output_dir=str(tmp_path))
+    order = []
+    real = batcher._run_batch
+
+    def spying(items):
+        order.extend(it.priority for it in items)
+        return real(items)
+
+    batcher._run_batch = spying
+    try:
+        gate = _stall_worker(batcher)
+        futs = [batcher.submit(dict(features=_feats(4, 0), primer="C"),
+                               priority=0),
+                batcher.submit(dict(features=_feats(4, 1), primer="C"),
+                               priority=5),
+                batcher.submit(dict(features=_feats(4, 2), primer="C"),
+                               priority=0)]
+        gate.set()
+        for f in futs:
+            f.result(timeout=300)
+        assert order == [5, 0, 0]
+    finally:
+        batcher.stop()
+
+
+def test_deadline_expires_before_decode(tiny_v2m, tmp_path):
+    """A request whose deadline_s elapses while queued fails fast with
+    DeadlineExceeded (never occupying a decode slot); requests without a
+    deadline are unaffected and the worker keeps serving."""
+    from video2music_tpu.pipeline.serving import DeadlineExceeded
+
+    batcher = DynamicBatcher(tiny_v2m, max_batch=4, max_wait_ms=1,
+                             output_dir=str(tmp_path))
+    try:
+        gate = _stall_worker(batcher)
+        doomed = batcher.submit(dict(features=_feats(4, 0), primer="C"),
+                                deadline_s=0.05)
+        ok = batcher.submit(dict(features=_feats(4, 1), primer="C"))
+        import time as _t
+        _t.sleep(0.2)
+        gate.set()
+        with pytest.raises(DeadlineExceeded):
+            doomed.result(timeout=300)
+        res, _ = ok.result(timeout=300)
+        assert len(res.chords) == 4
+        assert batcher.stats["expired"] == 1
+    finally:
+        batcher.stop()
+
+
+def test_deadline_validation_and_future_deadline_passes(tiny_v2m, tmp_path):
+    batcher = DynamicBatcher(tiny_v2m, max_batch=2, max_wait_ms=1,
+                             output_dir=str(tmp_path))
+    try:
+        with pytest.raises(ValueError, match="deadline_s"):
+            batcher.submit(dict(features=_feats(4, 0)), deadline_s=0)
+        # a generous deadline does not interfere
+        fut = batcher.submit(dict(features=_feats(4, 0), primer="C"),
+                             deadline_s=600)
+        res, _ = fut.result(timeout=300)
+        assert len(res.chords) == 4
+    finally:
+        batcher.stop()
+
+
+def test_http_deadline_maps_to_504(tiny_v2m, tmp_path):
+    from video2music_tpu.cli.serve import ServeApp, make_server
+
+    app = ServeApp(output_dir=str(tmp_path), v2m=tiny_v2m,
+                   max_batch=2, max_wait_ms=1)
+    server = make_server(app, port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        gate = _stall_worker(app.batcher)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({
+                "features": {k: v.tolist()
+                             for k, v in _feats(4, 0).items()},
+                "primer": "C", "deadline_s": 0.05}).encode(),
+            headers={"Content-Type": "application/json"})
+        codes = []
+
+        def call():
+            try:
+                urllib.request.urlopen(req, timeout=120)
+                codes.append(200)
+            except urllib.error.HTTPError as exc:
+                codes.append(exc.code)
+
+        t = threading.Thread(target=call)
+        t.start()
+        import time as _t
+        _t.sleep(0.3)   # let deadline_s=0.05 elapse while queued
+        gate.set()      # worker pops the request -> expired -> 504
+        t.join(timeout=120)
+        assert codes == [504]
+    finally:
+        server.shutdown()
+        app.stop()
+
+
 def test_submit_requires_features_or_video(tiny_v2m, tmp_path):
     batcher = DynamicBatcher(tiny_v2m, max_batch=2, max_wait_ms=1,
                              output_dir=str(tmp_path))

@@ -16,7 +16,10 @@ API:
       {"test_id": "<dataset id>" | "features": {"semantic": [[...]], ...}
          | "video": "/server/local/clip.mp4",
        "primer": "C Am F G", "key": "C major", "temperature": 1.0,
-       "stream": false}
+       "stream": false, "priority": 0, "deadline_s": null}
+    "priority" (higher gathers first) and "deadline_s" (fail with 504 if
+    the decode hasn't started within the budget) feed the batcher's
+    scheduling; see pipeline/serving.py.
     -> {"chords": [...], "key": ..., "midi_path": ..., "batch_width": B}
     With "stream": true the response is chunked NDJSON: first
     {"stage": "decoded", "chords": [...], "key": ...} as soon as the
@@ -135,10 +138,13 @@ class ServeApp:
             request["video"] = str(body["video"])
         else:
             request["features"] = features
+        deadline_s = body.get("deadline_s")
         try:
             fut = self.batcher.submit(
                 request, temperature=float(body.get("temperature", 1.0)),
-                on_decoded=on_decoded)
+                on_decoded=on_decoded,
+                priority=int(body.get("priority", 0)),
+                deadline_s=None if deadline_s is None else float(deadline_s))
             result, width = fut.result()
         except KeyError as exc:
             raise RuntimeError(f"pipeline KeyError: {exc}") from exc
@@ -212,7 +218,7 @@ def make_server(app: ServeApp, host: str = "127.0.0.1", port: int = 0):
             self.wfile.write(b"0\r\n\r\n")
 
         def do_POST(self):
-            from ..pipeline.serving import Overloaded
+            from ..pipeline.serving import DeadlineExceeded, Overloaded
 
             try:
                 n = int(self.headers.get("Content-Length", "0"))
@@ -228,6 +234,8 @@ def make_server(app: ServeApp, host: str = "127.0.0.1", port: int = 0):
                     self._json(404, {"error": "not found"})
             except Overloaded as exc:   # bounded queue full -> shed load
                 self._json(503, {"error": str(exc)})
+            except DeadlineExceeded as exc:  # deadline_s elapsed queued
+                self._json(504, {"error": str(exc)})
             except KeyError as exc:     # unknown test_id
                 self._json(404, {"error": str(exc)})
             except (ValueError, json.JSONDecodeError) as exc:  # bad payload

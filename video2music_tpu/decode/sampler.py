@@ -159,11 +159,25 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
     #    decoder layer step into a single kernel launch (ops/pallas_decode)
     #    — the XLA step path stays the oracle and the fallback.
     from ..ops.attention import _use_pallas
-    from ..ops.pallas_decode import fused_decode_eligible
+    from ..ops.pallas_decode import (fused_decode_eligible,
+                                     fused_decode_mosaic_ok)
 
     use_fused = (fused != "off" and B == 1
                  and fused_decode_eligible(model.cfg)
                  and (fused == "on" or _use_pallas()))
+    if use_fused and not interpret and not fused_decode_mosaic_ok(model.cfg):
+        # undersized dims fail Mosaic's lane-tiling constraints on real
+        # TPUs (tests run tiny dims in interpreter mode, which has no such
+        # limit) — fall back to the XLA step path instead of crashing in
+        # the kernel compiler
+        if fused == "on":
+            import warnings
+            warnings.warn(
+                "fused='on' requested but d_model/d_ff do not satisfy the "
+                "fused kernels' TPU lane-tiling constraints "
+                "(ops/pallas_decode.fused_decode_mosaic_ok); using the XLA "
+                "decode path", stacklevel=2)
+        use_fused = False
     if use_fused:
         from .fused import init_fused_caches, make_fused_step
         step_logits = make_fused_step(variables["params"], model.cfg,

@@ -565,3 +565,19 @@ def fused_decode_eligible(cfg) -> bool:
         if spec.ffn == "moe" and not cfg.moe.shared_expert:
             return False
     return True
+
+
+def fused_decode_mosaic_ok(cfg) -> bool:
+    """True when the model dims satisfy Mosaic's TPU lane-tiling
+    constraints for these kernels (last-dim slices of stacked weight
+    buffers must align to the 128-lane tile; observed hardware failure:
+    a (E, D, 2*d_ff) expert stack with 2*d_ff = 64 -> "Slice shape along
+    dimension 2 must be aligned to tiling (128)").
+
+    Checked separately from :func:`fused_decode_eligible` because the
+    constraint is a HARDWARE lowering property, not a wiring property:
+    interpreter-mode tests run the kernels at tiny dims, and undersized
+    configs on a real TPU should fall back to the XLA decode path rather
+    than fail in the Mosaic compiler. Production AMT dims (d_model=512,
+    d_ff=1024) pass."""
+    return cfg.d_model % 128 == 0 and (2 * cfg.d_ff) % 128 == 0

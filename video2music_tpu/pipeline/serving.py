@@ -9,9 +9,14 @@ kernel-latency bound at B=1 while extra batch rows are nearly free
 concurrent requests into one compiled batched program. This module is that
 coalescing layer:
 
-  * requests enter a BOUNDED queue (load shedding raises
+  * requests enter a BOUNDED priority queue (load shedding raises
     :class:`Overloaded` at capacity) and a worker thread gathers them for
-    up to ``max_wait_ms`` (or until ``max_batch``);
+    up to ``max_wait_ms`` (or until ``max_batch``); higher ``priority``
+    requests are gathered first (FIFO within a priority class);
+  * a request may carry a ``deadline_s`` budget: if its decode has not
+    STARTED by then it fails fast with :class:`DeadlineExceeded` instead
+    of occupying a batch slot (a decode already in flight is never
+    cancelled — XLA programs run to completion);
   * requests carrying a raw ``video`` get their features extracted for
     the whole group through SHARED CLIP/MaxViT programs
     (``api.extract_features_batch``) before the shared decode;
@@ -50,6 +55,11 @@ class Overloaded(RuntimeError):
     load-shedding signal (HTTP frontends map it to 503)."""
 
 
+class DeadlineExceeded(RuntimeError):
+    """Set on a request's Future when its ``deadline_s`` budget elapsed
+    before its decode started (HTTP frontends map it to 504)."""
+
+
 @dataclass
 class _Pending:
     request: Dict[str, Any]
@@ -58,6 +68,9 @@ class _Pending:
     # fn(payload) pushed as soon as this request's decode fetch lands,
     # before host-side rendering (streaming responses)
     on_decoded: Optional[Any] = None
+    priority: int = 0
+    # absolute time.monotonic() by which the decode must have started
+    deadline: Optional[float] = None
 
 
 @dataclass
@@ -102,12 +115,16 @@ class DynamicBatcher:
             self.buckets = self.buckets + (max_batch,)
         self.generate_kwargs = generate_kwargs
         self.stats = {"requests": 0, "batches": 0, "batched_requests": 0,
-                      "max_batch_size": 0, "shed": 0}
+                      "max_batch_size": 0, "shed": 0, "expired": 0}
         self._stats_lock = threading.Lock()
         self._seq = itertools.count()
         # bounded: a full queue sheds load at submit() instead of
-        # accumulating unbounded futures the worker can never catch up on
-        self._q: "queue.Queue[Optional[_Pending]]" = queue.Queue(
+        # accumulating unbounded futures the worker can never catch up on.
+        # Entries are (-priority, seq, payload): higher priority pops
+        # first, FIFO within a class (seq is unique, so payloads are
+        # never compared); the stop sentinel (-inf, -1) beats everything,
+        # controls ride at -inf with a real seq.
+        self._q: "queue.PriorityQueue" = queue.PriorityQueue(
             maxsize=max_queue)
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True,
@@ -116,23 +133,33 @@ class DynamicBatcher:
 
     # ------------------------------------------------------------------
     def submit(self, request: Dict[str, Any], temperature: float = 1.0,
-               on_decoded=None) -> Future:
+               on_decoded=None, priority: int = 0,
+               deadline_s: Optional[float] = None) -> Future:
         """Queue one request dict (``generate_batch`` schema: ``features``
         or a raw ``video`` path). Returns a Future of (GenerateResult,
         batch_width). ``on_decoded(payload)`` (if given) fires with the
-        decoded chords before host-side rendering. Raises
-        :class:`Overloaded` when the queue is at ``max_queue``."""
+        decoded chords before host-side rendering. Higher ``priority``
+        requests are gathered before lower ones (FIFO within a class);
+        ``deadline_s`` (seconds from now) fails the Future with
+        :class:`DeadlineExceeded` if the decode has not started by then.
+        Raises :class:`Overloaded` when the queue is at ``max_queue``."""
         if self._stop.is_set():
             raise RuntimeError("batcher stopped")
         if "features" not in request and "video" not in request:
             raise ValueError("request needs 'features' or 'video'")
+        if deadline_s is not None and deadline_s <= 0:
+            raise ValueError("deadline_s must be positive")
+        seq = next(self._seq)
         if "output_dir" not in request:
             request = dict(request, output_dir=os.path.join(
-                self.output_dir, f"req_{next(self._seq):06d}"))
-        item = _Pending(request=request, temperature=float(temperature),
-                        on_decoded=on_decoded)
+                self.output_dir, f"req_{seq:06d}"))
+        item = _Pending(
+            request=request, temperature=float(temperature),
+            on_decoded=on_decoded, priority=int(priority),
+            deadline=None if deadline_s is None
+            else time.monotonic() + float(deadline_s))
         try:
-            self._q.put_nowait(item)
+            self._q.put_nowait((-float(item.priority), seq, item))
         except queue.Full:
             with self._stats_lock:
                 self.stats["shed"] += 1
@@ -151,7 +178,9 @@ class DynamicBatcher:
         if self._stop.is_set():
             raise RuntimeError("batcher stopped")
         item = _Control(fn=fn)
-        self._q.put(item)
+        # controls outrank all request priorities (mutations should not
+        # starve behind a deep queue) but stay behind the stop sentinel
+        self._q.put((-float("inf"), next(self._seq), item))
         return item.future
 
     def generate(self, request: Dict[str, Any], temperature: float = 1.0,
@@ -162,27 +191,46 @@ class DynamicBatcher:
     def stop(self) -> None:
         self._stop.set()
         try:
-            self._q.put_nowait(None)
+            # negative seq beats every control/request at -inf priority;
+            # unique per call so duplicate sentinels never tie (heapq
+            # would otherwise compare the None payloads)
+            self._q.put_nowait((-float("inf"), -1 - next(self._seq), None))
         except queue.Full:
             pass  # queue non-empty -> the worker isn't blocked on get()
         self._worker.join(timeout=5)
 
     # ------------------------------------------------------------------
     def _take(self, timeout=None):
-        """Next queued item, honouring the holdback slot (items a gather
-        pulled but could not consume — a Queue has no push-front)."""
+        """Next queued payload (priority order), honouring the holdback
+        slot (items a gather pulled but could not consume — a queue has
+        no push-front)."""
         if self._held is not None:
             item, self._held = self._held, None
             return item
-        return self._q.get(timeout=timeout)
+        return self._q.get(timeout=timeout)[-1]
+
+    def _expired(self, item: _Pending) -> bool:
+        """True (and the Future failed) when the deadline budget elapsed
+        before this request's decode could start."""
+        if item.deadline is None or time.monotonic() < item.deadline:
+            return False
+        if not item.future.done():
+            item.future.set_exception(DeadlineExceeded(
+                "deadline elapsed before decode started"))
+        with self._stats_lock:
+            self.stats["expired"] += 1
+        return True
 
     def _gather(self) -> List[_Pending]:
-        first = self._take()
-        if first is None:  # stop sentinel (self._stop is already set)
-            return []
-        if isinstance(first, _Control):
-            self._exec_control(first)
-            return []
+        while True:
+            first = self._take()
+            if first is None:  # stop sentinel (self._stop is already set)
+                return []
+            if isinstance(first, _Control):
+                self._exec_control(first)
+                return []
+            if not self._expired(first):
+                break
         group = [first]
         deadline = time.monotonic() + self.max_wait_s
         while len(group) < self.max_batch:
@@ -196,8 +244,10 @@ class DynamicBatcher:
             if nxt is None or isinstance(nxt, _Control):
                 self._held = nxt  # handle after this batch
                 break
-            group.append(nxt)
-        return group
+            if not self._expired(nxt):
+                group.append(nxt)
+        # re-check at dispatch: the gather window itself consumed budget
+        return [it for it in group if not self._expired(it)]
 
     def _exec_control(self, item: _Control) -> None:
         try:
