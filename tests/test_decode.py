@@ -156,3 +156,49 @@ def test_traced_temperature_matches_static(rng):
         temperature=jnp.asarray([[0.5], [50.0]]))
     np.testing.assert_array_equal(np.asarray(hot["gen_seq"][0]),
                                   np.asarray(traced["gen_seq"][0]))
+
+
+def test_generate_batch_sharded_over_data_mesh(rng):
+    """Multi-chip serving (dryrun leg 6, __graft_entry__.py): the batched
+    decode program with the batch sharded over a "data" mesh axis must
+    produce EXACTLY the tokens of the unsharded program (params
+    replicated, same rng) — GSPMD partitioning of the KV-cached scan
+    cannot change what gets sampled."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from video2music_tpu.parallel import create_mesh, replicated
+
+    cfg = amt_config("2.2", **TINY)
+    model = VideoMusicTransformer(cfg)
+    B = 4
+    feats = _features(rng, B=B)
+    primer = jnp.tile(jnp.asarray([[1, 5]]), (B, 1))
+    root_tab, attr_tab = chord_to_root_attr_tables()
+    pr = jnp.asarray(root_tab)[primer]
+    pa = jnp.asarray(attr_tab)[primer]
+    variables = model.init(
+        jax.random.PRNGKey(0), primer, pr, pa, feats["semantic"],
+        feats["key"], feats["scene_offset"], feats["motion"],
+        feats["emotion"])
+    gcfg = GenerateConfig(target_seq_length=12)
+    temps = jnp.linspace(0.8, 1.2, B)
+
+    def run(v, f, primer, pr, pa, temps):
+        return generate_chords(
+            model, v, **f, primer=primer, primer_root=pr, primer_attr=pa,
+            num_primer=2, temperature=temps, rng=jax.random.PRNGKey(7),
+            gcfg=gcfg, fused="off")["gen_seq"]
+
+    want = np.asarray(jax.jit(run)(variables, feats, primer, pr, pa, temps))
+
+    mesh = create_mesh((2, 1), devices=jax.devices()[:2])
+
+    def dsh(x):
+        return jax.device_put(
+            x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1)))))
+
+    got = np.asarray(jax.jit(run)(
+        jax.device_put(variables, replicated(mesh)),
+        {k: dsh(v) for k, v in feats.items()},
+        dsh(primer), dsh(pr), dsh(pa), dsh(temps)))
+    np.testing.assert_array_equal(got, want)
