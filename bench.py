@@ -20,9 +20,14 @@ batched serving fetches once per batch anyway). The baseline keeps its
 per-token host round-trips because they are part of the reference
 algorithm being measured (json lookups + .item() per token).
 
-Prints TWO JSON lines (the decode headline stays LAST for the driver's
+Prints THREE JSON lines (the decode headline stays LAST for the driver's
 tail parser):
   {"metric": "amt_train_step_b16", "value": <ms>, "unit": "ms/step", ...}
+  {"metric": "amt_decode_300_b32", "value": <aggregate tokens/s at B=32>,
+   "unit": "tokens/s", ...}   — the batched-serving path (what the
+   DynamicBatcher dispatches; generate_chords auto-routes B<=16 through
+   the fused batched kernels and larger batches through the XLA step,
+   see ops/pallas_decode_batch.FUSED_BATCH_MAX_B)
   {"metric": "amt_decode_300", "value": <tokens/s ours>, "unit": "tokens/s",
    "vs_baseline": <baseline_time / our_time>, "spread_pct": <run spread>}
 
@@ -51,6 +56,20 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 import numpy as np
+
+
+def _feats(B=1):
+    rng = np.random.default_rng(0)
+    return dict(
+        semantic=jnp.asarray(
+            rng.standard_normal((B, 300, 768)).astype(np.float32)),
+        key=jnp.ones((B, 1), jnp.float32),
+        scene_offset=jnp.asarray(
+            rng.integers(0, 30, (B, 300)).astype(np.float32)),
+        motion=jnp.asarray(
+            rng.standard_normal((B, 300, 512)).astype(np.float32)),
+        emotion=jnp.asarray(rng.uniform(size=(B, 300, 6)).astype(np.float32)),
+    )
 
 
 def _build():
@@ -145,6 +164,51 @@ def bench_cached(model, variables, feats, n_lo=2, n_hi=42, repeats=7):
     print(f"# per-result fetch RTT this session: "
           f"{(time.perf_counter() - t0) / 5 * 1000:.0f} ms "
           "(tunnel artifact, excluded from the metric)", flush=True)
+    return slopes
+
+
+def bench_batched(model, variables, B=32, n_lo=1, n_hi=6, repeats=5):
+    """Aggregate decode throughput on the batched-serving path: one
+    program decodes B clips (the program shape ``pipeline.generate_batch``
+    / DynamicBatcher dispatch; the sampler auto-routes B<=16 through the
+    fused batched kernels, larger through the XLA step — at B=32 that is
+    the XLA path, measured faster there). Same slope discipline as
+    :func:`bench_cached`: blocks of N batch calls, ONE dependent combine
+    sync per block. Returns per-CALL seconds slopes (aggregate tok/s =
+    300*B / slope)."""
+    from video2music_tpu.decode.sampler import GenerateConfig, generate_chords
+
+    gcfg = GenerateConfig(target_seq_length=300, temperature=1.0)
+    feats = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        _feats(B))
+    primer = jnp.zeros((B, 8), jnp.int32).at[:, 0].set(1)
+    temps = jnp.linspace(0.8, 1.2, B)  # per-element traced temperatures
+
+    def run(variables, feats, seed):
+        return generate_chords(
+            model, variables, semantic=feats["semantic"], key=feats["key"],
+            scene_offset=feats["scene_offset"], motion=feats["motion"],
+            emotion=feats["emotion"], primer=primer, primer_root=primer,
+            primer_attr=primer, num_primer=1, temperature=temps,
+            rng=jax.random.PRNGKey(seed), gcfg=gcfg)
+
+    jitted = jax.jit(run)
+    combine = jax.jit(lambda seqs: jnp.stack(seqs).sum())
+    np.asarray(jitted(variables, feats, 0)["gen_seq"])  # compile + sync
+
+    def timed(n, base):
+        t0 = time.perf_counter()
+        outs = [jitted(variables, feats, base + i) for i in range(n)]
+        np.asarray(combine([o["gen_seq"] for o in outs]))
+        return time.perf_counter() - t0
+
+    timed(n_lo, 9000), timed(n_hi, 9500)  # warm combine per N
+    slopes = []
+    for r in range(repeats):
+        t_lo = timed(n_lo, 100 * r)
+        t_hi = timed(n_hi, 100 * r + 50)
+        slopes.append((t_hi - t_lo) / (n_hi - n_lo))
     return slopes
 
 
@@ -293,6 +357,20 @@ def main():
             "vs_baseline": round(train_base / t_med, 2),
             "baseline": "same step, f32 undonated (reference numerics)",
             "spread_pct": round(t_spread, 1),
+        }), flush=True)
+
+    if os.environ.get("V2M_BENCH_BATCH", "1") != "0":
+        B = 32
+        b_slopes = bench_batched(model, variables, B=B)
+        b_med, b_spread = _median_spread(b_slopes)
+        print(json.dumps({
+            "metric": f"amt_decode_300_b{B}",
+            "value": round(300.0 * B / b_med, 2),
+            "unit": "tokens/s",
+            "vs_baseline": round(base / (b_med / B), 2),
+            "baseline": "reference per-clip algorithm vs our per-clip "
+                        "share of the batched program",
+            "spread_pct": round(b_spread, 1),
         }), flush=True)
 
     tokens_per_s = 300.0 / ours

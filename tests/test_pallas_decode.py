@@ -206,3 +206,104 @@ def test_fused_generate_matches_unfused(rng):
     for k in ("gen_seq", "gen_seq_root", "gen_seq_attr"):
         np.testing.assert_array_equal(np.asarray(out_fused[k]),
                                       np.asarray(out_ref[k]), err_msg=k)
+
+
+def test_fused_batch_generate_matches_unfused(rng):
+    """Whole constrained generate at B=4 (odd block: also covers the
+    block_b=1 fallback at B=3): the batched fused backend must emit the
+    same token sequences as the XLA step path given the same rng —
+    per-element primer lengths and temperatures included."""
+    model, cfg = _tiny("2.2")
+    for B in (4, 3):
+        feats = _feats(rng, B=B)
+        variables = _init(model, feats)
+        primer = jnp.zeros((B, 4), jnp.int32).at[:, 0].set(1)
+        kw = dict(semantic=feats["semantic"], key=feats["key"],
+                  scene_offset=feats["scene_offset"], motion=feats["motion"],
+                  emotion=feats["emotion"], primer=primer,
+                  primer_root=primer, primer_attr=primer,
+                  num_primer=jnp.asarray([1 + i % 3 for i in range(B)]),
+                  temperature=jnp.linspace(0.8, 1.2, B),
+                  gcfg=GenerateConfig(target_seq_length=12))
+        out_ref = generate_chords(model, variables,
+                                  rng=jax.random.PRNGKey(7), fused="off",
+                                  **kw)
+        out_fused = generate_chords(model, variables,
+                                    rng=jax.random.PRNGKey(7), fused="on",
+                                    interpret=True, **kw)
+        for k in ("gen_seq", "gen_seq_root", "gen_seq_attr"):
+            np.testing.assert_array_equal(np.asarray(out_fused[k]),
+                                          np.asarray(out_ref[k]),
+                                          err_msg=f"B={B} {k}")
+
+
+def test_fused_batch_step_logits_match_unfused(rng):
+    """BATCHED fused step (ops/pallas_decode_batch: B-blocked attention
+    kernel + weight-stationary MoE kernel) vs the flax decode_step at
+    B=4: logits must agree at every position for every element — covers
+    the sublane-stacked segment attention, the in-register cache splice +
+    dynamic_update_slice append, per-row top-k gating, and both layer
+    kinds."""
+    from video2music_tpu.decode.fused import (init_fused_batch_caches,
+                                              make_fused_batch_step)
+
+    model, cfg = _tiny("2.2")
+    B = 4
+    feats = _feats(rng, B=B)
+    variables = _init(model, feats)
+
+    memory, _ = model.apply(variables, feats["semantic"],
+                            feats["scene_offset"], feats["motion"],
+                            feats["emotion"], method=model.encode,
+                            mutable=["metrics", "moe_state"])
+    _, primed = model.apply(variables, memory, method=model.prime,
+                            mutable=["cache"])
+
+    step_logits = make_fused_batch_step(variables["params"], cfg,
+                                        block_b=2, interpret=True)
+    fused_caches = init_fused_batch_caches(variables["params"], cfg, B,
+                                           primed["cache"])
+
+    tokens = rng.integers(0, C.CHORD_END, (8, B))
+    roots = rng.integers(0, 13, (8, B))
+    attrs = rng.integers(0, 14, (8, B))
+    key = feats["key"]
+
+    flax_cache = primed["cache"]
+    for pos in range(8):
+        t = jnp.asarray(tokens[pos][:, None], jnp.int32)
+        r = jnp.asarray(roots[pos][:, None], jnp.int32)
+        a = jnp.asarray(attrs[pos][:, None], jnp.int32)
+        want, mutated = model.apply(
+            {**variables, "cache": flax_cache}, t, r, a, key,
+            jnp.asarray(pos, jnp.int32), method=model.decode_step,
+            mutable=["cache", "metrics", "moe_state"])
+        flax_cache = mutated["cache"]
+        got, fused_caches = step_logits(fused_caches, t, r, a, key,
+                                        jnp.asarray(pos, jnp.int32))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=f"pos={pos}")
+
+
+def test_topk_combine_matches_b1_kernel_semantics(rng):
+    """topk_combine (vectorized) == the B=1 deep kernel's scalar top-k
+    loop: softmax over the k selected RAW logits, zeros elsewhere,
+    first-max tie-break."""
+    from video2music_tpu.decode.fused import topk_combine
+
+    logits = jnp.asarray(rng.standard_normal((5, 6)).astype(np.float32))
+    got = np.asarray(topk_combine(logits, 2))
+    for b in range(5):
+        row = np.asarray(logits[b])
+        order = np.argsort(-row, kind="stable")
+        sel = order[:2]
+        e = np.exp(row[sel] - row[sel[0]])
+        want = np.zeros(6)
+        want[sel] = e / e.sum()
+        np.testing.assert_allclose(got[b], want, rtol=1e-6)
+    # exact ties: the earliest lane wins, like argmax
+    tied = jnp.asarray([[1.0, 1.0, 0.0, 0.0, 0.0, 0.0]], jnp.float32)
+    got = np.asarray(topk_combine(tied, 2))[0]
+    np.testing.assert_allclose(got[:2], [0.5, 0.5])
+    assert (got[2:] == 0).all()

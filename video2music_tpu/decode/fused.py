@@ -7,6 +7,12 @@ exactly: chord embedding + key concat + Linear_chord, the decoder stack as
 one fused Pallas kernel per layer, final LayerNorm, and the 159-way head.
 The sampler (decode/sampler.py) drives it inside the same ``lax.scan`` it
 uses for the unfused path; tests assert logits parity between the two.
+
+``make_fused_batch_step`` is the B>1 analogue over
+``ops/pallas_decode_batch`` (two kernels per deep layer: B-blocked
+attention + weight-stationary MoE); caches carry a batch dimension and
+the new K/V rows are appended here with one dynamic_update_slice per
+cache.
 """
 
 from __future__ import annotations
@@ -18,6 +24,7 @@ import jax.numpy as jnp
 
 from ..ops.pallas_decode import (decode_layer_step, fused_decode_eligible,
                                  pack_decoder_layers)
+from ..ops.pallas_decode_batch import batched_layer_step, batched_moe_ffn
 
 LN_EPS = 1e-5
 
@@ -88,6 +95,110 @@ def make_fused_step(params: Dict[str, Any], cfg, *, interpret: bool = False,
             new[f"v{i}"] = vc
         x = _layer_norm(x, dnorm)
         logits = jnp.dot(x, wout) + bout  # (1, CHORD_SIZE)
+        return logits, new
+
+    return step_logits
+
+
+def topk_combine(logits, k_top: int):
+    """Eval-mode top-k combine weights (B, E): softmax over the k selected
+    RAW gate logits, zero elsewhere — ops/moe.py gathered-path semantics,
+    identical to the B=1 fused kernel's scalar loop but vectorized over
+    rows."""
+    E = logits.shape[-1]
+    remaining = logits
+    masks, sel = [], []
+    for _ in range(k_top):
+        idx = jnp.argmax(remaining, axis=-1)
+        onehot = jax.nn.one_hot(idx, E, dtype=logits.dtype)
+        masks.append(onehot)
+        sel.append(jnp.sum(onehot * logits, axis=-1, keepdims=True))
+        remaining = jnp.where(onehot > 0, -jnp.inf, remaining)
+    m = sel[0]  # the max of the selected
+    exps = [jnp.exp(s - m) for s in sel]
+    denom = sum(exps)
+    return sum(e / denom * mask for e, mask in zip(exps, masks))
+
+
+def init_fused_batch_caches(params: Dict[str, Any], cfg, B: int,
+                            cross_cache: Dict[str, Any]) -> Dict[str, Any]:
+    """Batched analogue of :func:`init_fused_caches`: (B, S, D) zero self
+    caches + primed cross K/V in the lane-concatenated head layout."""
+    D = cfg.d_model
+    S = cfg.max_seq_chord
+    dtype = params["Wout"]["kernel"].dtype
+    # (B, H, Sm, hd) -> (B, Sm, H*hd)
+    to_lanes = lambda a: a.transpose(0, 2, 1, 3).reshape(
+        a.shape[0], a.shape[2], D)
+    caches = {}
+    for i in range(len(cfg.decoder_layers)):
+        caches[f"k{i}"] = jnp.zeros((B, S, D), dtype)
+        caches[f"v{i}"] = jnp.zeros((B, S, D), dtype)
+        cc = cross_cache[f"dec_{i}"]["cross_attn"]
+        caches[f"ck{i}"] = to_lanes(cc["k"])
+        caches[f"cv{i}"] = to_lanes(cc["v"])
+    return caches
+
+
+def make_fused_batch_step(params: Dict[str, Any], cfg, *,
+                          block_b: int = None, interpret: bool = False):
+    """Batched (B>1) fused step: step_logits(caches, token, token_root,
+    token_attr, key, pos) -> (logits (B, CHORD_SIZE), new_caches).
+
+    Each layer runs as the B-blocked attention kernel
+    (ops/pallas_decode_batch.batched_layer_step) + for MoE layers the
+    weight-stationary expert kernel; the gate itself is a tiny (B, E) XLA
+    matmul + :func:`topk_combine`. int8 is not wired on this path (the
+    batched step is cache/weight-traffic bound with weights read once per
+    step; use the B=1 fused path or XLA fake-quant for int8)."""
+    assert fused_decode_eligible(cfg)
+    packed = pack_decoder_layers(params, cfg, quantize=None)
+    rope = cfg.decoder_layers[0].attn.rope
+    H = cfg.num_heads
+    k_top = cfg.moe.n_experts_per_token
+
+    emb_root = params["embedding_root"]["embedding"]
+    emb_attr = params["embedding_attr"]["embedding"]
+    lc_w = params["Linear_chord"]["kernel"]
+    lc_b = params["Linear_chord"]["bias"]
+    wout = params["Wout"]["kernel"]
+    bout = params["Wout"]["bias"]
+    dnorm = params["decoder_norm"]
+
+    def step_logits(caches, token, token_root, token_attr, key, pos):
+        emb = emb_root[token_root] + emb_attr[token_attr]  # (B, 1, D)
+        k = jnp.reshape(key.astype(emb.dtype), (emb.shape[0], 1, 1))
+        x = jnp.concatenate(
+            [emb, jnp.broadcast_to(k, (*emb.shape[:2], 1))], axis=-1)
+        x = (jnp.dot(x, lc_w) + lc_b)[:, 0]  # (B, D)
+
+        new = dict(caches)
+        for i, layer in enumerate(packed):
+            y, k_row, v_row = batched_layer_step(
+                x, pos, layer, caches[f"k{i}"], caches[f"v{i}"],
+                caches[f"ck{i}"], caches[f"cv{i}"],
+                n_heads=H, rope=rope, block_b=block_b, interpret=interpret)
+            if "gate_w" in layer:  # deep: y is post-norm2 x2
+                # same dtypes as the B=1 kernel's gate: compute-dtype
+                # operands, f32 accumulate (a rounding flip here would
+                # change expert SELECTION, not just numerics)
+                gl = jnp.dot(y, layer["gate_w"],
+                             preferred_element_type=jnp.float32)
+                gl = gl + layer["gate_b"].astype(jnp.float32)  # (B, E)
+                cw = topk_combine(gl, k_top)
+                x = batched_moe_ffn(y, cw, layer, k_top=k_top,
+                                    interpret=interpret)
+            else:
+                x = y
+            p = jnp.asarray(pos, jnp.int32)
+            new[f"k{i}"] = jax.lax.dynamic_update_slice(
+                caches[f"k{i}"], k_row[:, None, :].astype(
+                    caches[f"k{i}"].dtype), (0, p, 0))
+            new[f"v{i}"] = jax.lax.dynamic_update_slice(
+                caches[f"v{i}"], v_row[:, None, :].astype(
+                    caches[f"v{i}"].dtype), (0, p, 0))
+        x = _layer_norm(x, dnorm)
+        logits = jnp.dot(x, wout) + bout  # (B, CHORD_SIZE)
         return logits, new
 
     return step_logits

@@ -162,9 +162,18 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
     from ..ops.pallas_decode import (fused_decode_eligible,
                                      fused_decode_mosaic_ok)
 
-    use_fused = (fused != "off" and B == 1
-                 and fused_decode_eligible(model.cfg)
+    from ..ops.pallas_decode_batch import FUSED_BATCH_MAX_B
+
+    use_fused = (fused != "off" and fused_decode_eligible(model.cfg)
                  and (fused == "on" or _use_pallas()))
+    if use_fused and B > 1 and quantize is not None:
+        # int8 is a B=1 latency/memory feature; the batched kernels read
+        # compute-dtype weights (once per step, amortized over B)
+        use_fused = False
+    if use_fused and fused != "on" and B > FUSED_BATCH_MAX_B:
+        # large batches are HBM-bound on full-cache reads, where the XLA
+        # step path wins (measured crossover — see pallas_decode_batch)
+        use_fused = False
     if use_fused and not interpret and not fused_decode_mosaic_ok(model.cfg):
         # undersized dims fail Mosaic's lane-tiling constraints on real
         # TPUs (tests run tiny dims in interpreter mode, which has no such
@@ -178,11 +187,20 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
                 "(ops/pallas_decode.fused_decode_mosaic_ok); using the XLA "
                 "decode path", stacklevel=2)
         use_fused = False
-    if use_fused:
+    if use_fused and B == 1:
         from .fused import init_fused_caches, make_fused_step
         step_logits = make_fused_step(variables["params"], model.cfg,
                                       interpret=interpret, quantize=quantize)
         cache = init_fused_caches(variables["params"], model.cfg, cache)
+    elif use_fused:
+        # B>1: B-blocked attention kernels + weight-stationary MoE kernel
+        # (ops/pallas_decode_batch) — same step_logits signature, caches
+        # carry a batch dimension
+        from .fused import init_fused_batch_caches, make_fused_batch_step
+        step_logits = make_fused_batch_step(variables["params"], model.cfg,
+                                            interpret=interpret)
+        cache = init_fused_batch_caches(variables["params"], model.cfg, B,
+                                        cache)
     else:
         if quantize == "int8":
             if not fused_decode_eligible(model.cfg):

@@ -1,0 +1,390 @@
+"""Fused BATCHED single-token decoder-layer step kernels for TPU.
+
+``ops/pallas_decode.py`` fuses one decoder-layer step at B=1 (the latency
+path). Batched serving (``pipeline.generate_batch`` / the DynamicBatcher)
+runs B clips per program, where the unfused XLA step is op-dispatch bound:
+~130 small ops per step leave it ~10x off the HBM roofline (B=64 measured
+~1.7 ms/step vs ~0.15 ms of unavoidable cache+weight traffic). These
+kernels fuse the batched step into two ``pallas_call``s per layer:
+
+  * ``batched_layer_step`` — grid over B-blocks (``block_b`` rows per
+    cell; weights stay VMEM-resident across cells, caches stream per
+    cell): LayerNorms, fused QKV, RoPE, masked cached self-attention,
+    cached cross-attention, and (shallow layers) the SwiGLU FFN. Deep
+    (MoE) layers return the post-norm2 activation for:
+  * ``batched_moe_ffn`` — grid over experts (expert weights stream
+    through VMEM ONCE per step regardless of B, the weight-stationary
+    inverse of the B=1 kernel's per-token expert DMA): the shared expert,
+    every routed expert weighted by the eval-mode top-k combine weights,
+    and the closing residual LayerNorm.
+
+Everything is strictly 2D inside the kernels (Mosaic cannot reshape
+lanes<->sublanes): the per-batch-element attention segments live in the
+SUBLANE dimension as (block_b * S, D) slabs, and all per-group reductions
+and broadcasts ride one-hot row-map matmuls (``row -> batch element``),
+the batched generalization of the B=1 kernel's one-hot head-map trick.
+The per-group softmax subtracts the column-global max (>= every group
+max, so the normalized result is identical).
+
+Semantics mirror the XLA path exactly (post-norm LayerNorm(eps=1e-5)
+residual blocks, f32 softmax, pairwise RoPE, -1e9 causal mask, eval-mode
+top-k over raw gate logits with softmax over the selected — the combine
+weights are computed by the caller, ``decode/fused.py:topk_combine``).
+Self-attention caches are PURE INPUTS here (the kernel attends over the
+cache with this position's K/V spliced in-register and returns the new
+rows; the caller appends them with one ``dynamic_update_slice`` — unlike
+the B=1 kernel's aliased full-buffer rewrite, only the touched row is
+written back). Parity with the unfused path is enforced in
+tests/test_pallas_decode.py.
+
+Reference parity target: model/video_music_transformer.py:439-520 forward
+semantics (the reference's generate re-forwards the full prefix per
+token, :522-609, and has no batched serving at all).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_decode import (LN_EPS, NEG_INF, _head_map, _layer_norm,
+                            _rot_pairs, rope_tables_interleaved)
+
+# Largest batch the fused kernels beat the XLA step path at (measured,
+# full AMT 2.2 bf16, TPU v5e, tools/batch_decode_bench.py):
+#   B=4: 20.8 vs 31.6 ms/clip (1.52x)   B=8: 16.3 vs 23.6 (1.45x)
+#   B=16: 13.7 vs 15.0 (1.10x)          B=32: 11.2 vs 10.2 (0.91x)
+# Small batches are op-dispatch bound (fusion wins); by B=32 the step is
+# HBM-bound on full-cache reads, which fusion does not cut — the XLA
+# path's better DMA/compute overlap takes over. generate_chords routes
+# fused="auto" batches above this through the XLA path.
+FUSED_BATCH_MAX_B = 16
+
+
+def _row_map(n_rows: int, seg: int, n_seg: int):
+    """(n_rows, n_seg) f32 one-hot map row r -> segment r // seg. Per-group
+    sums/broadcasts over the sublane-stacked batch segments become tiny
+    matmuls against this."""
+    row_seg = jax.lax.broadcasted_iota(jnp.int32, (n_rows, n_seg), 0) // seg
+    seg_id = jax.lax.broadcasted_iota(jnp.int32, (n_rows, n_seg), 1)
+    return (row_seg == seg_id).astype(jnp.float32)
+
+
+def _segmented_attention(q, k_slab, v_slab, n_heads, seg, *, pos=None):
+    """q: (Bb, D) f32 (roped); k/v slabs (Bb*seg, D) — Bb batch elements'
+    caches stacked along sublanes. Masked (row-in-segment <= pos) when pos
+    is given. Returns (Bb, D) f32."""
+    rows, D = k_slab.shape
+    Bb = rows // seg
+    hd = D // n_heads
+    R = _head_map(D, n_heads)
+    M = _row_map(rows, seg, Bb)
+    qx = jnp.dot(M, q, preferred_element_type=jnp.float32)  # (rows, D)
+    prod = qx * k_slab.astype(jnp.float32)
+    logits = jnp.dot(prod, R,
+                     preferred_element_type=jnp.float32) * (hd ** -0.5)
+    if pos is not None:
+        in_seg = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) % seg
+        logits = jnp.where(in_seg <= pos, logits, NEG_INF)
+    # column-global max >= each segment's max: softmax result unchanged
+    m = jnp.max(logits, axis=0, keepdims=True)
+    p = jnp.exp(logits - m)                                   # (rows, H)
+    denom = jnp.dot(M.T, p, preferred_element_type=jnp.float32)  # (Bb, H)
+    p = p / jnp.dot(M, denom, preferred_element_type=jnp.float32)
+    p_full = jnp.dot(p, R.T, preferred_element_type=jnp.float32)
+    return jnp.dot(M.T, p_full * v_slab.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)        # (Bb, D)
+
+
+def _swiglu_b(x_bf, w1g, b1g, w2, b2):
+    """(Bb, D) -> (Bb, D) f32; w1g = [linear1|gate] concat (D, 2F)."""
+    F = w2.shape[0]
+    hg = jnp.dot(x_bf, w1g.astype(x_bf.dtype),
+                 preferred_element_type=jnp.float32)
+    hg = hg + b1g.astype(jnp.float32)
+    h, g = hg[:, :F], hg[:, F:]
+    h = h * (g * jax.nn.sigmoid(g))
+    return jnp.dot(h.astype(x_bf.dtype), w2.astype(x_bf.dtype),
+                   preferred_element_type=jnp.float32) + b2.astype(
+                       jnp.float32)
+
+
+def _batched_prologue(pos_ref, x_ref, cos_ref, sin_ref, wqkv, bqkv, wo, bo,
+                      cwq, cbq, cwo, cbo, nscale, nbias, kx_ref, vx_ref,
+                      kc_ref, vc_ref, kn_ref, vn_ref, n_heads, rope, S, Sm):
+    """Self + cross attention sublayers for one B-block. Returns x2
+    (post-norm2, f32) and writes this position's roped K/V rows to
+    kn_ref/vn_ref (the caller appends them to the HBM caches)."""
+    pos = pos_ref[0]
+    if rope:
+        # (1, D) rows for THIS position, sliced once per step by the
+        # caller (full f32 tables would cost 2x (S, D) VMEM per layer)
+        cos_p = cos_ref[:]
+        sin_p = sin_ref[:]
+    x0 = x_ref[:]                          # (Bb, D)
+    Bb, D = x0.shape
+
+    qkv = jnp.dot(x0, wqkv[:].astype(x0.dtype),
+                  preferred_element_type=jnp.float32)
+    qkv = qkv + bqkv[:].astype(jnp.float32)
+    q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
+    if rope:
+        q = q * cos_p + _rot_pairs(q) * sin_p
+        k = k * cos_p + _rot_pairs(k) * sin_p
+    kn_ref[:] = k.astype(kn_ref.dtype)
+    vn_ref[:] = v.astype(vn_ref.dtype)
+
+    # splice this position's K/V into the (input-only) cache slabs
+    M = _row_map(Bb * S, S, Bb)
+    in_seg = jax.lax.broadcasted_iota(jnp.int32, (Bb * S, D), 0) % S
+    k_slab = jnp.where(
+        in_seg == pos,
+        jnp.dot(M, k.astype(jnp.float32),
+                preferred_element_type=jnp.float32).astype(kc_ref.dtype),
+        kc_ref[:])
+    v_slab = jnp.where(
+        in_seg == pos,
+        jnp.dot(M, v.astype(jnp.float32),
+                preferred_element_type=jnp.float32).astype(vc_ref.dtype),
+        vc_ref[:])
+
+    attn = _segmented_attention(q, k_slab, v_slab, n_heads, S, pos=pos)
+    h = jnp.dot(attn.astype(x0.dtype), wo[:].astype(x0.dtype),
+                preferred_element_type=jnp.float32)
+    h = h + bo[:].astype(jnp.float32)
+    x1 = _layer_norm(x0.astype(jnp.float32) + h, nscale[0:1, :],
+                     nbias[0:1, :])
+
+    cq = jnp.dot(x1.astype(x0.dtype), cwq[:].astype(x0.dtype),
+                 preferred_element_type=jnp.float32)
+    cq = cq + cbq[:].astype(jnp.float32)
+    if rope:
+        cq = cq * cos_p + _rot_pairs(cq) * sin_p
+    cattn = _segmented_attention(cq, kx_ref[:], vx_ref[:], n_heads, Sm,
+                                 pos=None)
+    ch = jnp.dot(cattn.astype(x0.dtype), cwo[:].astype(x0.dtype),
+                 preferred_element_type=jnp.float32)
+    ch = ch + cbo[:].astype(jnp.float32)
+    return _layer_norm(x1 + ch, nscale[1:2, :], nbias[1:2, :])
+
+
+def _shallow_kernel_b(pos_ref, x_ref, cos_ref, sin_ref,
+                      wqkv, bqkv, wo, bo, cwq, cbq, cwo, cbo,
+                      nscale, nbias, fw1g, fb1g, fw2, fb2,
+                      kx_ref, vx_ref, kc_ref, vc_ref,
+                      y_ref, kn_ref, vn_ref, *, n_heads, rope, S, Sm):
+    x2 = _batched_prologue(pos_ref, x_ref, cos_ref, sin_ref, wqkv, bqkv,
+                           wo, bo, cwq, cbq, cwo, cbo, nscale, nbias,
+                           kx_ref, vx_ref, kc_ref, vc_ref, kn_ref, vn_ref,
+                           n_heads, rope, S, Sm)
+    h = _swiglu_b(x2.astype(x_ref.dtype), fw1g[:], fb1g[:], fw2[:], fb2[:])
+    x3 = _layer_norm(x2 + h, nscale[2:3, :], nbias[2:3, :])
+    y_ref[:] = x3.astype(y_ref.dtype)
+
+
+def _deep_attn_kernel_b(pos_ref, x_ref, cos_ref, sin_ref,
+                        wqkv, bqkv, wo, bo, cwq, cbq, cwo, cbo,
+                        nscale, nbias, kx_ref, vx_ref, kc_ref, vc_ref,
+                        y_ref, kn_ref, vn_ref, *, n_heads, rope, S, Sm):
+    x2 = _batched_prologue(pos_ref, x_ref, cos_ref, sin_ref, wqkv, bqkv,
+                           wo, bo, cwq, cbq, cwo, cbo, nscale, nbias,
+                           kx_ref, vx_ref, kc_ref, vc_ref, kn_ref, vn_ref,
+                           n_heads, rope, S, Sm)
+    y_ref[:] = x2.astype(y_ref.dtype)
+
+
+def _moe_kernel_b(x2_ref, cw_ref, gw1g_ref, gw2_ref, eb1g, eb2,
+                  sw1g, sb1g, sw2, sb2, nscale, nbias,
+                  out_ref, acc_ref, *, n_experts, k_top):
+    """Grid cell j: j==0 computes the always-on shared expert (/k_top);
+    cells 1..E add routed expert j-1 weighted by its combine weight; the
+    LAST cell also applies the residual + closing LayerNorm. The expert
+    weights stream through VMEM once per STEP (not per token/row):
+    gw1g/gw2 are (1, D, 2F)/(1, F, D) blocks of the stacked expert arrays,
+    indexed max(j-1, 0) so cell 0's fetch is reused by cell 1."""
+    j = pl.program_id(0)
+    x2 = x2_ref[:]                       # (B, D) compute dtype
+
+    @pl.when(j == 0)
+    def _shared():
+        acc_ref[:] = _swiglu_b(x2, sw1g[:], sb1g[:], sw2[:],
+                               sb2[:]) / float(k_top)
+
+    @pl.when(j > 0)
+    def _routed():
+        e = j - 1
+        E = n_experts
+        # this expert's bias rows + per-row combine weight column via
+        # one-hot matmuls (dynamic single-row loads don't lower)
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, E), 1)
+                  == e).astype(jnp.float32)
+        b1g_j = jnp.dot(onehot, eb1g[:].astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+        b2_j = jnp.dot(onehot, eb2[:].astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        cj = jnp.dot(cw_ref[:].astype(jnp.float32), onehot.T,
+                     preferred_element_type=jnp.float32)  # (B, 1)
+        yj = _swiglu_b(x2, gw1g_ref[0], b1g_j, gw2_ref[0], b2_j)
+        acc_ref[:] = acc_ref[:] + cj * yj
+
+    @pl.when(j == n_experts)
+    def _finalize():
+        x3 = _layer_norm(x2.astype(jnp.float32) + acc_ref[:],
+                         nscale[2:3, :], nbias[2:3, :])
+        out_ref[:] = x3.astype(out_ref.dtype)
+
+
+def _vmem(block=None, index_map=None):
+    if block is None:
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+
+
+def pick_block_b(B: int) -> int:
+    """Largest valid B-block: Mosaic requires the second-minor block dim
+    be divisible by 8 (the f32 sublane tile) OR equal to the full array
+    dim — so blocks of 8 when B divides, else the whole batch in one grid
+    cell (weights are VMEM-resident either way; only the cache slabs
+    stream per cell)."""
+    return 8 if B % 8 == 0 else B
+
+
+def batched_layer_step(x, pos, layer: Dict[str, Any], k_cache, v_cache,
+                       k_cross, v_cross, *, n_heads: int, rope: bool,
+                       block_b: int = None, interpret: bool = False):
+    """Attention half (plus FFN for shallow layers) of one fused BATCHED
+    decoder-layer step.
+
+    Args:
+      x: (B, D) activations.
+      pos: scalar int32 current position (same for every batch element —
+        generate_batch pads primers on-device, positions align).
+      layer: packed weights (ops/pallas_decode.pack_decoder_layers).
+      k_cache/v_cache: (B, S, D) self-attention caches — PURE INPUTS;
+        append the returned rows with
+        ``jax.lax.dynamic_update_slice(cache, rows[:, None], (0, pos, 0))``.
+      k_cross/v_cross: (B, Sm, D) primed memory K/V.
+    Returns:
+      (y, k_row, v_row): y is (B, D) — the full layer output for shallow
+      (SwiGLU) layers, or the post-norm2 activation for deep (MoE) layers
+      (feed it to :func:`batched_moe_ffn`); k_row/v_row are the (B, D)
+      roped K/V rows for position ``pos``.
+    """
+    B, D = x.shape
+    S = k_cache.shape[1]
+    Sm = k_cross.shape[1]
+    hd = D // n_heads
+    if block_b is None:
+        block_b = pick_block_b(B)
+    if B % block_b:
+        raise ValueError(f"B={B} not divisible by block_b={block_b}")
+    if block_b != B and block_b % 8 and not interpret:
+        # hardware lowering property only — interpreter-mode tests use
+        # small blocks to exercise the multi-cell grid at tiny B
+        raise ValueError(
+            f"block_b={block_b} must be the full batch or a multiple of 8 "
+            "(Mosaic sublane-tile divisibility for the (block_b, D) "
+            "row blocks)")
+    cos, sin = rope_tables_interleaved(S, hd, n_heads)
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    # slice this position's RoPE rows once, outside the kernel
+    p = jnp.asarray(pos, jnp.int32)
+    cos_p = jax.lax.dynamic_slice_in_dim(jnp.asarray(cos), p, 1, axis=0)
+    sin_p = jax.lax.dynamic_slice_in_dim(jnp.asarray(sin), p, 1, axis=0)
+    deep = "gate_w" in layer
+
+    grid = (B // block_b,)
+    full = lambda a: _vmem(a.shape, lambda i: (0,) * a.ndim)
+    slab = lambda n: _vmem((block_b * n, D), lambda i: (i, 0))
+    row_block = _vmem((block_b, D), lambda i: (i, 0))
+
+    weights = [layer["wqkv"], layer["bqkv"], layer["wo"], layer["bo"],
+               layer["cwq"], layer["cbq"], layer["cwo"], layer["cbo"],
+               layer["norm_scale"], layer["norm_bias"]]
+    if not deep:
+        weights += [layer["fw1g"], layer["fb1g"], layer["fw2"],
+                    layer["fb2"]]
+        kernel = functools.partial(_shallow_kernel_b, n_heads=n_heads,
+                                   rope=rope, S=S, Sm=Sm)
+    else:
+        kernel = functools.partial(_deep_attn_kernel_b, n_heads=n_heads,
+                                   rope=rope, S=S, Sm=Sm)
+
+    args = ([pos_arr, x, cos_p, sin_p] + weights
+            + [k_cross.reshape(B * Sm, D), v_cross.reshape(B * Sm, D),
+               k_cache.reshape(B * S, D), v_cache.reshape(B * S, D)])
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM), row_block,
+         full(cos_p), full(sin_p)]
+        + [full(w) for w in weights]
+        + [slab(Sm), slab(Sm), slab(S), slab(S)])
+
+    y, k_row, v_row = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(jax.ShapeDtypeStruct((B, D), x.dtype),
+                   jax.ShapeDtypeStruct((B, D), k_cache.dtype),
+                   jax.ShapeDtypeStruct((B, D), v_cache.dtype)),
+        in_specs=in_specs,
+        out_specs=(row_block, row_block, row_block),
+        # B-blocks are independent; the default 16 MB scoped-VMEM limit
+        # is far under the v5e's physical 128 MB — the (block_b*S, D)
+        # cache slabs + resident weights + f32 attention intermediates
+        # need ~35 MB at full size (measured OOM at 17.9 MB vs 16 MB)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    return y, k_row, v_row
+
+
+def batched_moe_ffn(x2, combine_weights, layer: Dict[str, Any], *,
+                    k_top: int = 2, interpret: bool = False):
+    """MoE FFN half of a deep layer for the whole batch: shared expert +
+    combine-weighted routed experts + residual/closing LayerNorm, expert
+    weights streamed through VMEM once per step (weight-stationary over
+    the batch — the inverse of the B=1 kernel's per-token expert DMA).
+
+    Args:
+      x2: (B, D) post-norm2 activations from :func:`batched_layer_step`.
+      combine_weights: (B, E) f32 eval-mode top-k combine weights (zero
+        for unselected experts) — ``decode/fused.py:topk_combine``.
+    Returns:
+      (B, D) layer output x3.
+    """
+    B, D = x2.shape
+    E, _, F2 = layer["ew1g"].shape
+    F = F2 // 2
+    grid = (E + 1,)
+    full = lambda a: _vmem(a.shape, lambda j: (0,) * a.ndim)
+
+    out = pl.pallas_call(
+        functools.partial(_moe_kernel_b, n_experts=E, k_top=k_top),
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((B, D), x2.dtype),
+        in_specs=[
+            full(x2), full(combine_weights),
+            _vmem((1, D, F2), lambda j: (jnp.maximum(j - 1, 0), 0, 0)),
+            _vmem((1, F, D), lambda j: (jnp.maximum(j - 1, 0), 0, 0)),
+            full(layer["eb1g"]), full(layer["eb2"]),
+            full(layer["sw1g"]), full(layer["sb1g"]),
+            full(layer["sw2"]), full(layer["sb2"]),
+            full(layer["norm_scale"]), full(layer["norm_bias"]),
+        ],
+        out_specs=_vmem((B, D), lambda j: (0, 0)),
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32)],
+        # the accumulator carries across expert cells: strictly sequential
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x2, combine_weights, layer["ew1g"], layer["ew2"], layer["eb1g"],
+      layer["eb2"], layer["sw1g"], layer["sb1g"], layer["sw2"],
+      layer["sb2"], layer["norm_scale"], layer["norm_bias"])
+    return out
