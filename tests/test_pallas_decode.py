@@ -208,6 +208,148 @@ def test_fused_generate_matches_unfused(rng):
                                       np.asarray(out_ref[k]), err_msg=k)
 
 
+def test_fused_stack_step_logits_match_unfused(rng):
+    """Stacked-segment step (ops/pallas_decode_stack: one kernel per
+    homogeneous layer segment, activation carried across grid cells in
+    VMEM scratch) vs the flax decode_step — logits at every position.
+    Covers the blocked weight streaming, aliased (n, S, D) cache blocks,
+    flat-indexed expert DMA, and the cell-boundary dtype rounding."""
+    from video2music_tpu.decode.fused import (init_fused_stack_caches,
+                                              make_fused_stack_step)
+
+    model, cfg = _tiny("2.2")
+    feats = _feats(rng)
+    variables = _init(model, feats)
+
+    memory, _ = model.apply(variables, feats["semantic"],
+                            feats["scene_offset"], feats["motion"],
+                            feats["emotion"], method=model.encode,
+                            mutable=["metrics", "moe_state"])
+    _, primed = model.apply(variables, memory, method=model.prime,
+                            mutable=["cache"])
+
+    step_logits = make_fused_stack_step(variables["params"], cfg,
+                                        interpret=True)
+    stack_caches = init_fused_stack_caches(variables["params"], cfg,
+                                           primed["cache"])
+
+    tokens = rng.integers(0, C.CHORD_END, 8)
+    roots = rng.integers(0, 13, 8)
+    attrs = rng.integers(0, 14, 8)
+    key = feats["key"]
+
+    flax_cache = primed["cache"]
+    for pos in range(8):
+        t = jnp.asarray([[tokens[pos]]], jnp.int32)
+        r = jnp.asarray([[roots[pos]]], jnp.int32)
+        a = jnp.asarray([[attrs[pos]]], jnp.int32)
+        want, mutated = model.apply(
+            {**variables, "cache": flax_cache}, t, r, a, key,
+            jnp.asarray(pos, jnp.int32), method=model.decode_step,
+            mutable=["cache", "metrics", "moe_state"])
+        flax_cache = mutated["cache"]
+        got, stack_caches = step_logits(stack_caches, t, r, a, key,
+                                        jnp.asarray(pos, jnp.int32))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=f"pos={pos}")
+
+
+def test_fused_monolith_step_logits_match_unfused(rng):
+    """MONOLITH step (ops/pallas_decode_stack.decode_monolith_step: the
+    whole decode step — embed, every layer statically unrolled, final LN,
+    head — as ONE pallas_call) vs the flax decode_step at every position.
+    Covers the in-kernel one-hot embedding gathers, the decomposed
+    Linear_chord (x @ W[:D] + key * W[D]), static stack indexing, and the
+    folded head."""
+    from video2music_tpu.decode.fused import (init_fused_monolith_caches,
+                                              make_fused_monolith_step)
+
+    model, cfg = _tiny("2.2")
+    feats = _feats(rng)
+    variables = _init(model, feats)
+
+    memory, _ = model.apply(variables, feats["semantic"],
+                            feats["scene_offset"], feats["motion"],
+                            feats["emotion"], method=model.encode,
+                            mutable=["metrics", "moe_state"])
+    _, primed = model.apply(variables, memory, method=model.prime,
+                            mutable=["cache"])
+
+    step_logits = make_fused_monolith_step(variables["params"], cfg,
+                                           interpret=True)
+    mono_caches = init_fused_monolith_caches(variables["params"], cfg,
+                                             primed["cache"])
+
+    tokens = rng.integers(0, C.CHORD_END, 8)
+    roots = rng.integers(0, 13, 8)
+    attrs = rng.integers(0, 14, 8)
+    key = feats["key"]
+
+    flax_cache = primed["cache"]
+    for pos in range(8):
+        t = jnp.asarray([[tokens[pos]]], jnp.int32)
+        r = jnp.asarray([[roots[pos]]], jnp.int32)
+        a = jnp.asarray([[attrs[pos]]], jnp.int32)
+        want, mutated = model.apply(
+            {**variables, "cache": flax_cache}, t, r, a, key,
+            jnp.asarray(pos, jnp.int32), method=model.decode_step,
+            mutable=["cache", "metrics", "moe_state"])
+        flax_cache = mutated["cache"]
+        got, mono_caches = step_logits(mono_caches, t, r, a, key,
+                                       jnp.asarray(pos, jnp.int32))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=f"pos={pos}")
+
+
+def test_fused_ends_step_logits_match_unfused(rng):
+    """Ends-folded step (the production B=1 'auto' backend: per-layer
+    kernels with the chord-embed prologue folded into the FIRST kernel
+    and final-norm+head into the LAST) vs the flax decode_step at every
+    position. Covers the one-layer flat runs (embed=True / fold_head=True)
+    around plain decode_layer_step middles."""
+    from video2music_tpu.decode.fused import (init_fused_caches,
+                                              make_fused_ends_step)
+
+    model, cfg = _tiny("2.2")
+    feats = _feats(rng)
+    variables = _init(model, feats)
+
+    memory, _ = model.apply(variables, feats["semantic"],
+                            feats["scene_offset"], feats["motion"],
+                            feats["emotion"], method=model.encode,
+                            mutable=["metrics", "moe_state"])
+    _, primed = model.apply(variables, memory, method=model.prime,
+                            mutable=["cache"])
+
+    step_logits = make_fused_ends_step(variables["params"], cfg,
+                                       interpret=True)
+    ends_caches = init_fused_caches(variables["params"], cfg,
+                                    primed["cache"])
+
+    tokens = rng.integers(0, C.CHORD_END, 8)
+    roots = rng.integers(0, 13, 8)
+    attrs = rng.integers(0, 14, 8)
+    key = feats["key"]
+
+    flax_cache = primed["cache"]
+    for pos in range(8):
+        t = jnp.asarray([[tokens[pos]]], jnp.int32)
+        r = jnp.asarray([[roots[pos]]], jnp.int32)
+        a = jnp.asarray([[attrs[pos]]], jnp.int32)
+        want, mutated = model.apply(
+            {**variables, "cache": flax_cache}, t, r, a, key,
+            jnp.asarray(pos, jnp.int32), method=model.decode_step,
+            mutable=["cache", "metrics", "moe_state"])
+        flax_cache = mutated["cache"]
+        got, ends_caches = step_logits(ends_caches, t, r, a, key,
+                                       jnp.asarray(pos, jnp.int32))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=f"pos={pos}")
+
+
 def test_fused_batch_generate_matches_unfused(rng):
     """Whole constrained generate at B=4 (odd block: also covers the
     block_b=1 fallback at B=3): the batched fused backend must emit the

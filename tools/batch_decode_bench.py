@@ -114,6 +114,242 @@ def parity():
           f"{floor:.1e})", flush=True)
 
 
+def stack_parity():
+    """Stacked-segment kernels on the hardware (Mosaic lowering + parity
+    vs the per-layer fused kernels, which share their math helpers and
+    precision discipline — expect near-zero divergence between the two)."""
+    from video2music_tpu.decode.fused import (init_fused_caches,
+                                              init_fused_monolith_caches,
+                                              init_fused_stack_caches,
+                                              make_fused_monolith_step,
+                                              make_fused_step,
+                                              make_fused_stack_step)
+    rng = np.random.default_rng(0)
+    L = 16
+    cfg = amt_config("2.2", n_layers=4, num_heads=4, d_model=128, d_ff=64,
+                     max_seq_video=L, max_seq_chord=L,
+                     total_vf_dim=7 + 1 + 1 + 2, dropout=0.0)
+    model = VideoMusicTransformer(cfg=cfg)
+    feats = _feats(rng, 1, L, 7, 2)
+    z = jnp.zeros((1, L - 1), jnp.int32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, z, z, z,
+                           feats["semantic"], feats["key"],
+                           feats["scene_offset"], feats["motion"],
+                           feats["emotion"])
+    memory, _ = model.apply(variables, feats["semantic"],
+                            feats["scene_offset"], feats["motion"],
+                            feats["emotion"], method=model.encode,
+                            mutable=["metrics", "moe_state"])
+    _, primed = model.apply(variables, memory, method=model.prime,
+                            mutable=["cache"])
+
+    stack_step = jax.jit(make_fused_stack_step(variables["params"], cfg))
+    mono_step = jax.jit(make_fused_monolith_step(variables["params"], cfg))
+    layer_step = jax.jit(make_fused_step(variables["params"], cfg))
+    sc = init_fused_stack_caches(variables["params"], cfg, primed["cache"])
+    mc = init_fused_monolith_caches(variables["params"], cfg,
+                                    primed["cache"])
+    lc = init_fused_caches(variables["params"], cfg, primed["cache"])
+
+    worst = worst_m = 0.0
+    for pos in range(6):
+        t = jnp.asarray(rng.integers(0, 157, (1, 1)), jnp.int32)
+        r = jnp.asarray(rng.integers(0, 13, (1, 1)), jnp.int32)
+        a = jnp.asarray(rng.integers(0, 14, (1, 1)), jnp.int32)
+        p = jnp.asarray(pos, jnp.int32)
+        got, sc = stack_step(sc, t, r, a, feats["key"], p)
+        gotm, mc = mono_step(mc, t, r, a, feats["key"], p)
+        want, lc = layer_step(lc, t, r, a, feats["key"], p)
+        scale = float(jnp.max(jnp.abs(np.asarray(want))))
+        diff = float(jnp.max(jnp.abs(np.asarray(got) - np.asarray(want))))
+        diffm = float(jnp.max(jnp.abs(np.asarray(gotm) - np.asarray(want))))
+        worst = max(worst, diff / max(scale, 1e-6))
+        worst_m = max(worst_m, diffm / max(scale, 1e-6))
+        print(f"pos={pos} rel(stack-vs-layer)={diff / max(scale, 1e-6):.3e} "
+              f"rel(monolith-vs-layer)={diffm / max(scale, 1e-6):.3e}",
+              flush=True)
+    # stack shares every dot with the per-layer kernels: bit-exact.
+    # monolith folds embed/Linear_chord/head INTO the kernel, so those
+    # matmuls round at Mosaic MXU precision instead of XLA's — same
+    # magnitude as the established kernel-vs-XLA noise (~5e-3 at f32).
+    assert worst < 2e-3, f"stack parity FAILED: rel={worst}"
+    assert worst_m < 2e-2, f"monolith parity FAILED: rel={worst_m}"
+    print(f"stack parity OK (worst rel {worst:.1e}); monolith within "
+          f"kernel-precision noise (worst rel {worst_m:.1e})", flush=True)
+
+
+def stack_timing(reps=5, n_lo=2, n_hi=22):
+    """B=1 decode latency: stacked-segment vs per-layer vs XLA backends,
+    pipelined-block slope method (bench.py discipline: N independent
+    generate calls per block, ONE dependent combine sync)."""
+    from video2music_tpu.decode.sampler import (GenerateConfig,
+                                                generate_chords)
+    rng = np.random.default_rng(1)
+    cfg = amt_config("2.2", total_vf_dim=768 + 1 + 1 + 6, dropout=0.0)
+    model = VideoMusicTransformer(cfg=cfg)
+    feats = _feats(rng, 1, 300, 768, 6)
+    z = jnp.zeros((1, 299), jnp.int32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, z, z, z,
+                           feats["semantic"], feats["key"],
+                           feats["scene_offset"], feats["motion"],
+                           feats["emotion"])
+    variables = jax.device_put(
+        jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, variables),
+        jax.devices()[0])
+    feats = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x.astype(jnp.bfloat16), jax.devices()[0]),
+        feats)
+    primer = jnp.zeros((1, 8), jnp.int32).at[:, 0].set(1)
+    gcfg = GenerateConfig(target_seq_length=300)
+    combine = jax.jit(lambda seqs: jnp.stack(seqs).sum())
+
+    for fused in ("ends", "monolith", "stack", "layer", "off"):
+        def f(variables, feats, seed, fused=fused):
+            return generate_chords(
+                model, variables, semantic=feats["semantic"],
+                key=feats["key"], scene_offset=feats["scene_offset"],
+                motion=feats["motion"], emotion=feats["emotion"],
+                primer=primer, primer_root=primer, primer_attr=primer,
+                num_primer=1, temperature=1.0, rng=jax.random.PRNGKey(seed),
+                gcfg=gcfg, fused=fused)
+        jitted = jax.jit(f)
+        t0 = time.perf_counter()
+        np.asarray(jitted(variables, feats, 0)["gen_seq"])
+        print(f"fused={fused}: compile+first {time.perf_counter()-t0:.1f} s",
+              flush=True)
+
+        def timed(n, base):
+            t0 = time.perf_counter()
+            outs = [jitted(variables, feats, base + i) for i in range(n)]
+            np.asarray(combine([o["gen_seq"] for o in outs]))
+            return time.perf_counter() - t0
+
+        timed(n_lo, 900), timed(n_hi, 950)
+        slopes = []
+        for r_i in range(reps):
+            t_lo = timed(n_lo, 100 * r_i)
+            t_hi = timed(n_hi, 100 * r_i + 50)
+            slopes.append((t_hi - t_lo) / (n_hi - n_lo))
+        med = sorted(slopes)[len(slopes) // 2]
+        print(f"fused={fused}: {med*1000:.2f} ms/clip, "
+              f"{300.0/med:.0f} tok/s "
+              f"(spread {(max(slopes)-min(slopes))/med*100:.0f}%)",
+              flush=True)
+
+
+def stack_micro(reps=5, n_lo=50, n_hi=350):
+    """Isolate the stacked-vs-per-layer cost per SEGMENT: scan N decode
+    steps of (a) one shallow decode_segment_step, (b) its 3 per-layer
+    decode_layer_step calls, (c/d) same for the deep (MoE) segment.
+    Full-size 2.2 bf16 weights, synthetic."""
+    from video2music_tpu.ops.pallas_decode import (decode_layer_step,
+                                                   pack_decoder_layers)
+    from video2music_tpu.ops.pallas_decode_stack import (
+        decode_segment_step, pack_decoder_segments)
+
+    rng = np.random.default_rng(2)
+    cfg = amt_config("2.2", total_vf_dim=768 + 1 + 1 + 6, dropout=0.0)
+    model = VideoMusicTransformer(cfg=cfg)
+    feats = _feats(rng, 1, 300, 768, 6)
+    z = jnp.zeros((1, 299), jnp.int32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, z, z, z,
+                           feats["semantic"], feats["key"],
+                           feats["scene_offset"], feats["motion"],
+                           feats["emotion"])
+    variables = jax.device_put(
+        jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, variables),
+        jax.devices()[0])
+    params = variables["params"]
+    segs = pack_decoder_segments(params, cfg)
+    layers = pack_decoder_layers(params, cfg, quantize=None)
+    D, S, Sm = cfg.d_model, cfg.max_seq_chord, cfg.max_seq_video
+    H, k_top = cfg.num_heads, cfg.moe.n_experts_per_token
+    dt = jnp.bfloat16
+    x0 = jnp.ones((1, D), dt)
+
+    def scan_stack(seg_idx, layer_ids):
+        seg = segs[seg_idx]
+        n = len(layer_ids)
+        def run(x0, n_steps):
+            kc = jnp.zeros((n, S, D), dt)
+            vc = jnp.zeros((n, S, D), dt)
+            kx = jnp.ones((n, Sm, D), dt)
+            vx = jnp.ones((n, Sm, D), dt)
+            def body(carry, pos):
+                x, kc, vc = carry
+                y, kc, vc = decode_segment_step(
+                    x, pos, seg, kc, vc, kx, vx, n_heads=H, rope=True,
+                    k_top=k_top)
+                return (y, kc, vc), None
+            (y, _, _), _ = jax.lax.scan(
+                body, (x0, kc, vc), jnp.arange(n_steps, dtype=jnp.int32))
+            return y
+        return run
+
+    def scan_layers(layer_ids):
+        ls = [layers[i] for i in layer_ids]
+        def run(x0, n_steps):
+            caches = [(jnp.zeros((S, D), dt), jnp.zeros((S, D), dt),
+                       jnp.ones((Sm, D), dt), jnp.ones((Sm, D), dt))
+                      for _ in ls]
+            def body(carry, pos):
+                x, caches = carry
+                out = []
+                for l, (kc, vc, kx, vx) in zip(ls, caches):
+                    x, kc, vc = decode_layer_step(
+                        x, pos, l, kc, vc, kx, vx, n_heads=H, rope=True,
+                        k_top=k_top)
+                    out.append((kc, vc, kx, vx))
+                return (x, out), None
+            (y, _), _ = jax.lax.scan(
+                body, (x0, caches), jnp.arange(n_steps, dtype=jnp.int32))
+            return y
+        return run
+
+    def scan_stack_full():
+        def run(x0, n_steps):
+            st = [(jnp.zeros((3, S, D), dt), jnp.zeros((3, S, D), dt),
+                   jnp.ones((3, Sm, D), dt), jnp.ones((3, Sm, D), dt))
+                  for _ in range(2)]
+            def body(carry, pos):
+                x, caches = carry
+                out = []
+                for seg, (kc, vc, kx, vx) in zip(segs, caches):
+                    x, kc, vc = decode_segment_step(
+                        x, pos, seg, kc, vc, kx, vx, n_heads=H, rope=True,
+                        k_top=k_top)
+                    out.append((kc, vc, kx, vx))
+                return (x, out), None
+            (y, _), _ = jax.lax.scan(
+                body, (x0, st), jnp.arange(n_steps, dtype=jnp.int32))
+            return y
+        return run
+
+    for name, run in [("stack shallow", scan_stack(0, [0, 1, 2])),
+                      ("layer shallow", scan_layers([0, 1, 2])),
+                      ("stack deep", scan_stack(1, [3, 4, 5])),
+                      ("layer deep", scan_layers([3, 4, 5])),
+                      ("stack full decoder", scan_stack_full()),
+                      ("layer full decoder", scan_layers(list(range(6))))]:
+        jitted = jax.jit(run, static_argnums=1)
+        np.asarray(jitted(x0, n_lo)); np.asarray(jitted(x0, n_hi))
+        slopes = []
+        for _ in range(reps):
+            t0 = time.perf_counter(); np.asarray(jitted(x0, n_lo))
+            t_lo = time.perf_counter() - t0
+            t0 = time.perf_counter(); np.asarray(jitted(x0, n_hi))
+            t_hi = time.perf_counter() - t0
+            slopes.append((t_hi - t_lo) / (n_hi - n_lo))
+        med = sorted(slopes)[len(slopes) // 2]
+        print(f"{name}: {med*1e6:.1f} us/step "
+              f"(spread {(max(slopes)-min(slopes))/med*100:.0f}%)",
+              flush=True)
+
+
 def timing(B=32, reps=5, n_lo=1, n_hi=4):
     """Fused-vs-XLA batched decode at batch size B (argv: timing [B])."""
     from video2music_tpu.decode.sampler import (GenerateConfig,
@@ -183,3 +419,8 @@ if __name__ == "__main__":
         parity()
     if mode in ("timing", "both"):
         timing(B=int(sys.argv[2]) if len(sys.argv) > 2 else 32)
+    if mode == "stack":
+        stack_parity()
+        stack_timing()
+    if mode == "stackmicro":
+        stack_micro()

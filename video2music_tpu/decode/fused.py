@@ -100,6 +100,198 @@ def make_fused_step(params: Dict[str, Any], cfg, *, interpret: bool = False,
     return step_logits
 
 
+def init_fused_stack_caches(params: Dict[str, Any], cfg,
+                            cross_cache: Dict[str, Any]) -> Dict[str, Any]:
+    """Segment-stacked analogue of :func:`init_fused_caches`: per segment
+    one (n, S, D) zero self cache pair + the (n, Sm, D) stacked primed
+    cross K/V in the lane-concatenated head layout."""
+    from ..ops.pallas_decode_stack import decoder_segments
+
+    D = cfg.d_model
+    S = cfg.max_seq_chord
+    dtype = params["Wout"]["kernel"].dtype
+    to_lanes = lambda a: a[0].transpose(1, 0, 2).reshape(a.shape[2], D)
+    caches = {}
+    for s, seg in enumerate(decoder_segments(cfg)):
+        n = len(seg["layers"])
+        caches[f"sk{s}"] = jnp.zeros((n, S, D), dtype)
+        caches[f"sv{s}"] = jnp.zeros((n, S, D), dtype)
+        cks, cvs = [], []
+        for i in seg["layers"]:
+            cc = cross_cache[f"dec_{i}"]["cross_attn"]
+            cks.append(to_lanes(cc["k"]))
+            cvs.append(to_lanes(cc["v"]))
+        caches[f"sck{s}"] = jnp.stack(cks)
+        caches[f"scv{s}"] = jnp.stack(cvs)
+    return caches
+
+
+def make_fused_stack_step(params: Dict[str, Any], cfg, *,
+                          interpret: bool = False):
+    """Stacked-segment fused step (ops/pallas_decode_stack): the whole
+    decoder runs as one pallas_call per homogeneous layer segment (two for
+    the V2 family's 3 SwiGLU + 3 MoE split) instead of one per layer —
+    same step_logits signature as :func:`make_fused_step`. int8 stays on
+    the per-layer path (sampler routes)."""
+    from ..ops.pallas_decode_stack import (decode_segment_step,
+                                           pack_decoder_segments)
+
+    assert fused_decode_eligible(cfg)
+    segs = pack_decoder_segments(params, cfg)
+    rope = cfg.decoder_layers[0].attn.rope
+    H = cfg.num_heads
+    k_top = cfg.moe.n_experts_per_token
+
+    emb_root = params["embedding_root"]["embedding"]
+    emb_attr = params["embedding_attr"]["embedding"]
+    lc_w = params["Linear_chord"]["kernel"]
+    lc_b = params["Linear_chord"]["bias"]
+    wout = params["Wout"]["kernel"]
+    bout = params["Wout"]["bias"]
+    dnorm = params["decoder_norm"]
+
+    def step_logits(caches, token, token_root, token_attr, key, pos):
+        emb = emb_root[token_root] + emb_attr[token_attr]  # (1, 1, D)
+        k = jnp.reshape(key.astype(emb.dtype), (emb.shape[0], 1, 1))
+        x = jnp.concatenate(
+            [emb, jnp.broadcast_to(k, (*emb.shape[:2], 1))], axis=-1)
+        x = (jnp.dot(x, lc_w) + lc_b)[:, 0]  # (1, D)
+
+        new = dict(caches)
+        for s, seg in enumerate(segs):
+            x, kc, vc = decode_segment_step(
+                x, pos, seg, caches[f"sk{s}"], caches[f"sv{s}"],
+                caches[f"sck{s}"], caches[f"scv{s}"],
+                n_heads=H, rope=rope, k_top=k_top, interpret=interpret)
+            new[f"sk{s}"] = kc
+            new[f"sv{s}"] = vc
+        x = _layer_norm(x, dnorm)
+        logits = jnp.dot(x, wout) + bout  # (1, CHORD_SIZE)
+        return logits, new
+
+    return step_logits
+
+
+def init_fused_monolith_caches(params: Dict[str, Any], cfg,
+                               cross_cache: Dict[str, Any]) -> Dict[str, Any]:
+    """(L, S, D) zero self caches + (L, Sm, D) stacked primed cross K/V
+    for :func:`make_fused_monolith_step` (all layers in one stack)."""
+    D = cfg.d_model
+    S = cfg.max_seq_chord
+    L = len(cfg.decoder_layers)
+    dtype = params["Wout"]["kernel"].dtype
+    to_lanes = lambda a: a[0].transpose(1, 0, 2).reshape(a.shape[2], D)
+    cks, cvs = [], []
+    for i in range(L):
+        cc = cross_cache[f"dec_{i}"]["cross_attn"]
+        cks.append(to_lanes(cc["k"]))
+        cvs.append(to_lanes(cc["v"]))
+    return {"k": jnp.zeros((L, S, D), dtype),
+            "v": jnp.zeros((L, S, D), dtype),
+            "ck": jnp.stack(cks), "cv": jnp.stack(cvs)}
+
+
+def make_fused_monolith_step(params: Dict[str, Any], cfg, *,
+                             interpret: bool = False):
+    """MONOLITH fused step: the entire decode step — chord embed +
+    Linear_chord, every decoder layer (statically unrolled over
+    VMEM-resident weight stacks), final LayerNorm and the chord head —
+    runs as ONE ungridded pallas_call (ops/pallas_decode_stack
+    .decode_monolith_step). Same step_logits signature as
+    :func:`make_fused_step`; int8 stays on the per-layer path."""
+    from ..ops.pallas_decode_stack import (decode_monolith_step,
+                                           pack_monolith)
+
+    assert fused_decode_eligible(cfg)
+    packed = pack_monolith(params, cfg)
+    kinds = tuple(spec.ffn for spec in cfg.decoder_layers)
+    rope = cfg.decoder_layers[0].attn.rope
+    H = cfg.num_heads
+    k_top = cfg.moe.n_experts_per_token
+
+    def step_logits(caches, token, token_root, token_attr, key, pos):
+        logits, kc, vc = decode_monolith_step(
+            token_root.reshape(-1)[:1], token_attr.reshape(-1)[:1],
+            key.reshape(-1)[:1], pos, packed,
+            caches["k"], caches["v"], caches["ck"], caches["cv"],
+            kinds=kinds, n_heads=H, rope=rope, k_top=k_top,
+            interpret=interpret)
+        new = dict(caches)
+        new["k"] = kc
+        new["v"] = vc
+        return logits, new
+
+    return step_logits
+
+
+def make_fused_ends_step(params: Dict[str, Any], cfg, *,
+                         interpret: bool = False,
+                         split: bool = True):
+    """Per-layer fused step with the XLA glue folded into the END kernels:
+    the FIRST layer's kernel absorbs the chord embedding + Linear_chord
+    prologue and the LAST layer's kernel absorbs the final LayerNorm +
+    chord head (ops/pallas_decode_stack.decode_flat_monolith_step with
+    one-layer runs); middle layers stay on decode_layer_step. Keeps the
+    per-layer kernel-boundary DMA/compute pipelining that makes the
+    6-launch path fast while deleting ~10 small glue ops per step.
+
+    split=False runs the ENTIRE step as one kernel instead — measured 2x
+    slower (one un-overlappable prologue DMA burst; see BACKLOG) and kept
+    only for measurement."""
+    from ..ops.pallas_decode import decode_layer_step, pack_decoder_layers
+    from ..ops.pallas_decode_stack import (decode_flat_monolith_step,
+                                           pack_monolith)
+
+    assert fused_decode_eligible(cfg)
+    layers = pack_decoder_layers(params, cfg, quantize=None)
+    head = pack_monolith(params, cfg)  # for the embed/head keys
+    kinds = tuple(spec.ffn for spec in cfg.decoder_layers)
+    rope = cfg.decoder_layers[0].attn.rope
+    H = cfg.num_heads
+    k_top = cfg.moe.n_experts_per_token
+    L = len(kinds)
+
+    def step_logits(caches, token, token_root, token_attr, key, pos):
+        cache_list = [(caches[f"k{i}"], caches[f"v{i}"],
+                       caches[f"ck{i}"], caches[f"cv{i}"])
+                      for i in range(L)]
+        new = dict(caches)
+        tr = token_root.reshape(-1)[:1]
+        ta = token_attr.reshape(-1)[:1]
+        kk = key.reshape(-1)[:1]
+        if not split:  # whole-step monolith (measurement only)
+            logits, new_kv = decode_flat_monolith_step(
+                tr, ta, kk, pos, layers, head, cache_list, kinds=kinds,
+                n_heads=H, rope=rope, k_top=k_top, interpret=interpret)
+            for i, (kc, vc) in enumerate(new_kv):
+                new[f"k{i}"] = kc
+                new[f"v{i}"] = vc
+            return logits, new
+
+        x, kv0 = decode_flat_monolith_step(
+            tr, ta, kk, pos, layers[:1], head, cache_list[:1],
+            kinds=kinds[:1], n_heads=H, rope=rope, k_top=k_top,
+            embed=True, fold_head=(L == 1), interpret=interpret)
+        new["k0"], new["v0"] = kv0[0]
+        if L == 1:
+            return x, new
+        for i in range(1, L - 1):
+            x, kc, vc = decode_layer_step(
+                x, pos, layers[i], caches[f"k{i}"], caches[f"v{i}"],
+                caches[f"ck{i}"], caches[f"cv{i}"],
+                n_heads=H, rope=rope, k_top=k_top, interpret=interpret)
+            new[f"k{i}"] = kc
+            new[f"v{i}"] = vc
+        logits, kvL = decode_flat_monolith_step(
+            None, None, None, pos, layers[-1:], head, cache_list[-1:],
+            kinds=kinds[-1:], n_heads=H, rope=rope, k_top=k_top,
+            embed=False, fold_head=True, x=x, interpret=interpret)
+        new[f"k{L - 1}"], new[f"v{L - 1}"] = kvL[0]
+        return logits, new
+
+    return step_logits
+
+
 def topk_combine(logits, k_top: int):
     """Eval-mode top-k combine weights (B, E): softmax over the k selected
     RAW gate logits, zero elsewhere — ops/moe.py gathered-path semantics,

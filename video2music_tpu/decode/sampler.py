@@ -99,9 +99,19 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
         (per-element, for batched serving). ``None`` falls back to
         ``gcfg.temperature``; prefer passing it here so the compiled
         program is temperature-agnostic (no recompile per value).
-      fused: "auto" (fused Pallas decode-layer kernels on TPU when the
-        config is eligible), "on" (force, e.g. with interpret=True on CPU)
-        or "off".
+      fused: "auto" (fused Pallas decode kernels on TPU when the config
+        is eligible — at B=1 the ends-folded per-layer kernels, at
+        1<B<=16 the batched kernels, above that the XLA step), "off",
+        or an explicit backend (forces even off-TPU, pair with
+        interpret=True on CPU): "on"/"layer" (one kernel per decoder
+        layer, embed/head in XLA — the exact-parity oracle; int8 runs
+        here), "ends" (per-layer kernels with the chord-embed prologue
+        folded into the first kernel and final-norm+head into the last
+        — the fastest measured B=1 backend), "stack" (one kernel per
+        homogeneous layer segment) or "monolith" (whole step in one
+        kernel) — both bit-exact but measured ~2x slower (merged
+        kernels lose kernel-boundary DMA/compute pipelining; kept as
+        measured negative results, see BACKLOG).
       interpret: run the fused kernels in Pallas interpreter mode (tests).
       quantize: None (compute dtype) or "int8" — weight-only int8 decode:
         the fused kernels read int8 weights (half the HBM traffic that
@@ -165,12 +175,12 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
     from ..ops.pallas_decode_batch import FUSED_BATCH_MAX_B
 
     use_fused = (fused != "off" and fused_decode_eligible(model.cfg)
-                 and (fused == "on" or _use_pallas()))
+                 and (fused != "auto" or _use_pallas()))
     if use_fused and B > 1 and quantize is not None:
         # int8 is a B=1 latency/memory feature; the batched kernels read
         # compute-dtype weights (once per step, amortized over B)
         use_fused = False
-    if use_fused and fused != "on" and B > FUSED_BATCH_MAX_B:
+    if use_fused and fused == "auto" and B > FUSED_BATCH_MAX_B:
         # large batches are HBM-bound on full-cache reads, where the XLA
         # step path wins (measured crossover — see pallas_decode_batch)
         use_fused = False
@@ -179,7 +189,7 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
         # TPUs (tests run tiny dims in interpreter mode, which has no such
         # limit) — fall back to the XLA step path instead of crashing in
         # the kernel compiler
-        if fused == "on":
+        if fused != "auto":
             import warnings
             warnings.warn(
                 "fused='on' requested but d_model/d_ff do not satisfy the "
@@ -188,10 +198,45 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
                 "decode path", stacklevel=2)
         use_fused = False
     if use_fused and B == 1:
-        from .fused import init_fused_caches, make_fused_step
-        step_logits = make_fused_step(variables["params"], model.cfg,
-                                      interpret=interpret, quantize=quantize)
-        cache = init_fused_caches(variables["params"], model.cfg, cache)
+        # B=1 backends, fastest first (measured, full 2.2 bf16, v5e):
+        #   "ends"  17.7 ms/clip — per-layer kernels with the embed and
+        #           final-norm+head glue folded into the first/last
+        #           kernel (the "auto" default; not int8-wired)
+        #   "layer" 19.2 ms/clip — one kernel per layer ("on" keeps this
+        #           for exact-token test parity; int8 runs here)
+        #   "stack" 36 ms, "monolith" 39 ms — one kernel per segment /
+        #           per step; bit-exact but SLOWER (a merged kernel's
+        #           prologue DMA cannot overlap compute the way
+        #           kernel-boundary pipelining does; see BACKLOG). Kept
+        #           opt-in as measured negative results.
+        use_stack = quantize is None and fused == "stack"
+        use_monolith = quantize is None and fused == "monolith"
+        if quantize is None and fused in ("auto", "ends"):
+            from .fused import init_fused_caches, make_fused_ends_step
+            step_logits = make_fused_ends_step(
+                variables["params"], model.cfg, interpret=interpret)
+            cache = init_fused_caches(variables["params"], model.cfg,
+                                      cache)
+        elif use_monolith:
+            from .fused import (init_fused_monolith_caches,
+                                make_fused_monolith_step)
+            step_logits = make_fused_monolith_step(
+                variables["params"], model.cfg, interpret=interpret)
+            cache = init_fused_monolith_caches(variables["params"],
+                                               model.cfg, cache)
+        elif use_stack:
+            from .fused import (init_fused_stack_caches,
+                                make_fused_stack_step)
+            step_logits = make_fused_stack_step(
+                variables["params"], model.cfg, interpret=interpret)
+            cache = init_fused_stack_caches(variables["params"], model.cfg,
+                                            cache)
+        else:
+            from .fused import init_fused_caches, make_fused_step
+            step_logits = make_fused_step(variables["params"], model.cfg,
+                                          interpret=interpret,
+                                          quantize=quantize)
+            cache = init_fused_caches(variables["params"], model.cfg, cache)
     elif use_fused:
         # B>1: B-blocked attention kernels + weight-stationary MoE kernel
         # (ops/pallas_decode_batch) — same step_logits signature, caches

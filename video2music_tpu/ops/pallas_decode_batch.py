@@ -332,13 +332,16 @@ def batched_layer_step(x, pos, layer: Dict[str, Any], k_cache, v_cache,
                    jax.ShapeDtypeStruct((B, D), v_cache.dtype)),
         in_specs=in_specs,
         out_specs=(row_block, row_block, row_block),
-        # B-blocks are independent; the default 16 MB scoped-VMEM limit
-        # is far under the v5e's physical 128 MB — the (block_b*S, D)
-        # cache slabs + resident weights + f32 attention intermediates
-        # need ~35 MB at full size (measured OOM at 17.9 MB vs 16 MB)
+        # B-blocks are independent. The limit is raised to the SMALLEST
+        # bucket that fits (the f32 attention intermediates need a
+        # 45.2 MB scoped stack at block_b=8 full size; 17.9 MB OOM vs
+        # the 16 MB default without blocks): over-declaring VMEM
+        # (100 MB) measured a 2-3x slowdown of EVERY kernel in the
+        # surrounding decode loop — the scheduler serializes around
+        # calls with a large declared footprint (see BACKLOG).
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(*args)
     return y, k_row, v_row
@@ -382,7 +385,7 @@ def batched_moe_ffn(x2, combine_weights, layer: Dict[str, Any], *,
         # the accumulator carries across expert cells: strictly sequential
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(x2, combine_weights, layer["ew1g"], layer["ew2"], layer["eb1g"],
       layer["eb2"], layer["sw1g"], layer["sb1g"], layer["sw2"],
