@@ -25,9 +25,9 @@ tail parser):
   {"metric": "amt_train_step_b16", "value": <ms>, "unit": "ms/step", ...}
   {"metric": "amt_decode_300_b32", "value": <aggregate tokens/s at B=32>,
    "unit": "tokens/s", ...}   — the batched-serving path (what the
-   DynamicBatcher dispatches; generate_chords auto-routes B<=16 through
-   the fused batched kernels and larger batches through the XLA step,
-   see ops/pallas_decode_batch.FUSED_BATCH_MAX_B)
+   DynamicBatcher dispatches; generate_chords auto-routes every batch
+   size through the fused batched kernels with 4-way cache segmentation,
+   see GenerateConfig.cache_segments and ops/pallas_decode_batch)
   {"metric": "amt_decode_300", "value": <tokens/s ours>, "unit": "tokens/s",
    "vs_baseline": <baseline_time / our_time>, "spread_pct": <run spread>}
 
@@ -170,9 +170,11 @@ def bench_cached(model, variables, feats, n_lo=2, n_hi=42, repeats=7):
 def bench_batched(model, variables, B=32, n_lo=1, n_hi=6, repeats=5):
     """Aggregate decode throughput on the batched-serving path: one
     program decodes B clips (the program shape ``pipeline.generate_batch``
-    / DynamicBatcher dispatch; the sampler auto-routes B<=16 through the
-    fused batched kernels, larger through the XLA step — at B=32 that is
-    the XLA path, measured faster there). Same slope discipline as
+    / DynamicBatcher dispatch; the sampler auto-routes batched decodes
+    through the fused batched kernels with 4-way cache segmentation —
+    segmentation trims the full-cache reads that used to make the XLA
+    step win at B=32, see GenerateConfig.cache_segments). Same slope
+    discipline as
     :func:`bench_cached`: blocks of N batch calls, ONE dependent combine
     sync per block. Returns per-CALL seconds slopes (aggregate tok/s =
     300*B / slope)."""

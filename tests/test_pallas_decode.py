@@ -449,3 +449,48 @@ def test_topk_combine_matches_b1_kernel_semantics(rng):
     got = np.asarray(topk_combine(tied, 2))[0]
     np.testing.assert_allclose(got[:2], [0.5, 0.5])
     assert (got[2:] == 0).all()
+
+
+def test_segmented_cache_generate_matches_unsegmented(rng):
+    """Segmented KV-cache decode (GenerateConfig.cache_segments: the scan
+    splits into position ranges each compiled against a statically sliced
+    self-cache PREFIX) must emit exactly the unsegmented tokens — masked
+    rows past the window contribute exact zeros, so the math is identical.
+    Covers windows genuinely < max_seq_chord (S=48 -> 16/32/48) on:
+      * the XLA step path at B=2 (flax (B, H, S, hd) caches),
+      * the batched fused kernels at B=2 (sliced (B, S, D) cache slabs
+        recompile per window),
+      * the B=1 fused "ends" backend ((S, D) caches), and
+      * the base-AMT RPR path (rpr_bias_decode at short kv_len).
+    """
+    S = 48
+    cases = [
+        ("2.2", 2, "off", {}),
+        ("2.2", 2, "on", dict(interpret=True)),
+        ("2.2", 1, "ends", dict(interpret=True)),
+        (None, 2, "off", {}),
+    ]
+    for version, B, fused, extra in cases:
+        cfg = amt_config(version, n_layers=4, num_heads=2, d_model=16,
+                         d_ff=32, max_seq_video=12, max_seq_chord=S,
+                         total_vf_dim=7 + 1 + 1 + 2, dropout=0.0)
+        model = VideoMusicTransformer(cfg=cfg)
+        feats = _feats(rng, B=B)
+        variables = _init(model, feats, L=S)
+        primer = jnp.zeros((B, 4), jnp.int32).at[:, 0].set(1)
+        kw = dict(semantic=feats["semantic"], key=feats["key"],
+                  scene_offset=feats["scene_offset"], motion=feats["motion"],
+                  emotion=feats["emotion"], primer=primer,
+                  primer_root=primer, primer_attr=primer,
+                  num_primer=jnp.asarray([2 + i for i in range(B)]),
+                  rng=jax.random.PRNGKey(7), fused=fused, **extra)
+        flat = generate_chords(
+            model, variables,
+            gcfg=GenerateConfig(target_seq_length=S, cache_segments=1), **kw)
+        seg = generate_chords(
+            model, variables,
+            gcfg=GenerateConfig(target_seq_length=S, cache_segments=3), **kw)
+        for k in ("gen_seq", "gen_seq_root", "gen_seq_attr"):
+            np.testing.assert_array_equal(
+                np.asarray(seg[k]), np.asarray(flat[k]),
+                err_msg=f"version={version} B={B} fused={fused} {k}")

@@ -350,8 +350,14 @@ def stack_micro(reps=5, n_lo=50, n_hi=350):
               flush=True)
 
 
-def timing(B=32, reps=5, n_lo=1, n_hi=4):
-    """Fused-vs-XLA batched decode at batch size B (argv: timing [B])."""
+def timing(B=32, reps=5, n_lo=1, n_hi=4, segments=(0,)):
+    """Fused-vs-XLA batched decode at batch size B (argv: timing [B]).
+
+    ``segments`` sweeps GenerateConfig.cache_segments (0 = auto): the
+    segmented scan compiles each position range against a statically
+    sliced self-cache prefix, cutting early-step cache-read traffic —
+    expected to matter exactly where the batched decode is HBM-bound on
+    full-cache reads (B>=16, see BACKLOG 'B>1 fused decode kernels')."""
     from video2music_tpu.decode.sampler import (GenerateConfig,
                                                 generate_chords)
     rng = np.random.default_rng(1)
@@ -372,9 +378,9 @@ def timing(B=32, reps=5, n_lo=1, n_hi=4):
         lambda x: jax.device_put(x.astype(jnp.bfloat16), jax.devices()[0]),
         feats)
     primer = jnp.zeros((B, 8), jnp.int32).at[:, 0].set(1)
-    gcfg = GenerateConfig(target_seq_length=300)
 
-    def run(fused):
+    def run(fused, n_seg):
+        gcfg = GenerateConfig(target_seq_length=300, cache_segments=n_seg)
         def f(variables, feats, seed):
             return generate_chords(
                 model, variables, semantic=feats["semantic"],
@@ -388,29 +394,32 @@ def timing(B=32, reps=5, n_lo=1, n_hi=4):
     combine = jax.jit(lambda seqs: jnp.stack(seqs).sum())
 
     for fused in ("off", "on"):
-        jitted = run(fused)
-        t0 = time.perf_counter()
-        np.asarray(jitted(variables, feats, 0)["gen_seq"])
-        print(f"fused={fused}: compile+first {time.perf_counter()-t0:.1f} s",
-              flush=True)
-
-        def timed(n, base):
+        for n_seg in segments:
+            jitted = run(fused, n_seg)
+            tag = f"fused={fused} seg={n_seg}"
             t0 = time.perf_counter()
-            outs = [jitted(variables, feats, base + i) for i in range(n)]
-            np.asarray(combine([o["gen_seq"] for o in outs]))
-            return time.perf_counter() - t0
+            np.asarray(jitted(variables, feats, 0)["gen_seq"])
+            print(f"{tag}: compile+first {time.perf_counter()-t0:.1f} s",
+                  flush=True)
 
-        timed(n_lo, 900), timed(n_hi, 950)
-        slopes = []
-        for r_i in range(reps):
-            t_lo = timed(n_lo, 100 * r_i)
-            t_hi = timed(n_hi, 100 * r_i + 50)
-            slopes.append((t_hi - t_lo) / (n_hi - n_lo))
-        med = sorted(slopes)[len(slopes) // 2]
-        print(f"fused={fused}: {med*1000:.1f} ms/call, "
-              f"{med/B*1000:.2f} ms/clip, {300.0*B/med:.0f} tok/s aggregate "
-              f"(spread {(max(slopes)-min(slopes))/med*100:.0f}%)",
-              flush=True)
+            def timed(n, base):
+                t0 = time.perf_counter()
+                outs = [jitted(variables, feats, base + i) for i in range(n)]
+                np.asarray(combine([o["gen_seq"] for o in outs]))
+                return time.perf_counter() - t0
+
+            timed(n_lo, 900), timed(n_hi, 950)
+            slopes = []
+            for r_i in range(reps):
+                t_lo = timed(n_lo, 100 * r_i)
+                t_hi = timed(n_hi, 100 * r_i + 50)
+                slopes.append((t_hi - t_lo) / (n_hi - n_lo))
+            med = sorted(slopes)[len(slopes) // 2]
+            print(f"{tag}: {med*1000:.1f} ms/call, "
+                  f"{med/B*1000:.2f} ms/clip, "
+                  f"{300.0*B/med:.0f} tok/s aggregate "
+                  f"(spread {(max(slopes)-min(slopes))/med*100:.0f}%)",
+                  flush=True)
 
 
 if __name__ == "__main__":
@@ -419,6 +428,10 @@ if __name__ == "__main__":
         parity()
     if mode in ("timing", "both"):
         timing(B=int(sys.argv[2]) if len(sys.argv) > 2 else 32)
+    if mode == "segtiming":  # sweep cache_segments at batch B
+        timing(B=int(sys.argv[2]) if len(sys.argv) > 2 else 32,
+               segments=tuple(int(s) for s in sys.argv[3].split(","))
+               if len(sys.argv) > 3 else (1, 2, 4, 8))
     if mode == "stack":
         stack_parity()
         stack_timing()

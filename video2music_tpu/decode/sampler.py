@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import re
 from typing import Any, Optional
 
 import jax
@@ -45,6 +46,82 @@ class GenerateConfig:
     temperature: float = 1.0
     max_conseq_N: int = 0
     max_conseq_chord: int = 2
+    # Self-attention cache read window segmentation: split the decode scan
+    # into this many position ranges, each compiled against a statically
+    # sliced cache PREFIX, so early steps read (and the fused kernels DMA)
+    # only the rows that can be live instead of the full max_seq_chord
+    # buffer every step (~1.6x less self-cache read traffic at 4 segments).
+    # 0 = auto (segment batched decodes, which are HBM-bound on cache
+    # reads; keep B=1 single-segment — it is kernel-latency bound and
+    # extra program variants only cost compile time). Bit-exact with the
+    # unsegmented scan: masked rows contribute exact zeros to the softmax.
+    cache_segments: int = 0
+
+
+# Fused/flax self-attention cache leaves are sliced by their dict key:
+# "k0"/"v3" (per-layer), "sk0"/"sv1" (stacked segments), bare "k"/"v"
+# (monolith). Cross caches ("ck0", flax "cross_attn/…") must keep their
+# full memory length and never match.
+_SELF_CACHE_KEY = re.compile(r"s?[kv]\d*")
+
+
+def _path_keys(path) -> list:
+    keys = []
+    for p in path:
+        k = getattr(p, "key", None)
+        if k is None:
+            k = getattr(p, "name", None)
+        if isinstance(k, str):
+            keys.append(k)
+    return keys
+
+
+def _is_self_cache(path) -> bool:
+    keys = _path_keys(path)
+    if "cross_attn" in keys:
+        return False
+    if "self_attn" in keys:
+        return True
+    return bool(keys) and _SELF_CACHE_KEY.fullmatch(keys[-1]) is not None
+
+
+def _slice_self_caches(cache, window: int):
+    """Slice every self-attention cache leaf to its first ``window`` rows
+    along the sequence axis (uniformly ndim-2 across the fused (S, D) /
+    batched (B, S, D) / flax (B, H, S, hd) layouts)."""
+    def f(path, leaf):
+        if not _is_self_cache(path) or leaf.shape[leaf.ndim - 2] <= window:
+            return leaf
+        return jax.lax.slice_in_dim(leaf, 0, window, axis=leaf.ndim - 2)
+    return jax.tree_util.tree_map_with_path(f, cache)
+
+
+def _merge_self_caches(full, part):
+    """Write each sliced self-cache prefix back over the full buffer."""
+    def f(path, a, b):
+        if a.shape == b.shape:
+            return b
+        return jax.lax.dynamic_update_slice_in_dim(a, b, 0, axis=a.ndim - 2)
+    return jax.tree_util.tree_map_with_path(f, full, part)
+
+
+def plan_cache_segments(T: int, S: int, n_seg: int):
+    """Contiguous decode position ranges [lo, hi) covering 1..T-2 plus the
+    self-cache window for each: the smallest multiple of 16 rows (TPU
+    sublane-tile friendly for bf16 caches) covering the range's last
+    write at row hi-1, capped at the full buffer S."""
+    n_steps = T - 2
+    n_seg = max(1, min(n_seg, n_steps))
+    bounds = []
+    lo = 1
+    for s in range(1, n_seg + 1):
+        hi = 1 + (n_steps * s) // n_seg
+        if hi <= lo:
+            continue
+        window = min(S, -(-hi // 16) * 16)
+        bounds.append((lo, hi, window))
+        lo = hi
+    return bounds
 
 
 def _sample_next(rng, logits, gen_seq, pos, gcfg: GenerateConfig,
@@ -174,15 +251,22 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
 
     from ..ops.pallas_decode_batch import FUSED_BATCH_MAX_B
 
+    n_seg = gcfg.cache_segments or (4 if B > 1 else 1)
     use_fused = (fused != "off" and fused_decode_eligible(model.cfg)
                  and (fused != "auto" or _use_pallas()))
     if use_fused and B > 1 and quantize is not None:
         # int8 is a B=1 latency/memory feature; the batched kernels read
         # compute-dtype weights (once per step, amortized over B)
         use_fused = False
-    if use_fused and fused == "auto" and B > FUSED_BATCH_MAX_B:
-        # large batches are HBM-bound on full-cache reads, where the XLA
-        # step path wins (measured crossover — see pallas_decode_batch)
+    if use_fused and fused == "auto" and B > FUSED_BATCH_MAX_B and n_seg <= 1:
+        # UNSEGMENTED large batches are HBM-bound on full-cache reads,
+        # where the XLA step path wins (measured crossover at B=32 — see
+        # pallas_decode_batch). Cache segmentation trims exactly those
+        # reads and flips the crossover back, so segmented auto-routing
+        # stays fused at every batch size. Measured ms/clip, full 2.2
+        # bf16, v5e, fused+seg4 vs fused-seg1 vs XLA-seg1:
+        #   B=4  12.31 / 15.01 / 31.6    B=16 8.68 / 11.81 / 14.97
+        #   B=32  7.37 / 10.35 / 10.18   B=64 6.53 / (n/a) /  8.03
         use_fused = False
     if use_fused and not interpret and not fused_decode_mosaic_ok(model.cfg):
         # undersized dims fail Mosaic's lane-tiling constraints on real
@@ -296,8 +380,21 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
     #    structure; the scan then carries a fixed-structure pytree.
     carry = (cache, gen_seq, gen_root, gen_attr, rng)
     carry, _ = step_fn(carry, jnp.asarray(0, jnp.int32))
-    carry, _ = jax.lax.scan(step_fn, carry,
-                            jnp.arange(1, T - 1, dtype=jnp.int32))
+    segments = plan_cache_segments(T, model.cfg.max_seq_chord, n_seg)
+    if len(segments) <= 1:
+        carry, _ = jax.lax.scan(step_fn, carry,
+                                jnp.arange(1, T - 1, dtype=jnp.int32))
+    else:
+        # segmented scan: each range runs against a statically sliced
+        # self-cache prefix (early steps stop paying full-buffer reads);
+        # prefixes merge back into the full buffers at range boundaries.
+        # Bit-exact with the single scan — see GenerateConfig.
+        for lo, hi, window in segments:
+            full_cache = carry[0]
+            carry = (_slice_self_caches(full_cache, window),) + carry[1:]
+            carry, _ = jax.lax.scan(step_fn, carry,
+                                    jnp.arange(lo, hi, dtype=jnp.int32))
+            carry = (_merge_self_caches(full_cache, carry[0]),) + carry[1:]
     _, gen_seq, gen_root, gen_attr, _ = carry
     return {"gen_seq": gen_seq, "gen_seq_root": gen_root,
             "gen_seq_attr": gen_attr}

@@ -157,6 +157,7 @@ class DecoderLayer(nn.Module):
             cfg=cross_spec, d_model=self.cfg.d_model, is_cross=True,
             dropout_rate=self.cfg.dropout, depth=self.depth,
             max_cache_len=self.cfg.max_seq_video,
+            max_query_len=self.cfg.max_seq_chord,
             remat=self.cfg.remat_attention, name="cross_attn")
         self.ffn = make_ffn(self.spec, self.cfg, "ffn")
         self.norm1 = make_norm(self.cfg.norm, self.cfg.d_model)

@@ -140,6 +140,12 @@ class MultiHeadAttention(nn.Module):
     dropout_rate: float = 0.0
     depth: int = 0  # layer index, used by differential lambda init
     max_cache_len: int = 300
+    # RoPE table length for QUERY positions. Cross-attention queries are
+    # chord positions (0..max_seq_chord-1) while its K/V cache is memory
+    # rows (max_seq_video), so the two lengths differ whenever the configs
+    # do; rope_cache values per position do not depend on table length, so
+    # oversizing is bit-exact. 0 = same as max_cache_len.
+    max_query_len: int = 0
     remat: bool = False  # checkpoint the attention core (see AMTConfig)
 
     @nn.compact
@@ -188,7 +194,9 @@ class MultiHeadAttention(nn.Module):
         q = split_heads(q_proj(query), q_heads)
         if cfg.rope:
             q_pos = None if mode == "full" else jnp.asarray(decode_pos)[None]
-            q = apply_rope(q, positions=q_pos, max_len=self.max_cache_len)
+            q = apply_rope(q, positions=q_pos,
+                           max_len=max(self.max_cache_len,
+                                       self.max_query_len))
 
         # --- key/value path ---
         if mode == "full":
