@@ -370,13 +370,16 @@ def test_fused_batch_generate_matches_unfused(rng):
         out_ref = generate_chords(model, variables,
                                   rng=jax.random.PRNGKey(7), fused="off",
                                   **kw)
-        out_fused = generate_chords(model, variables,
-                                    rng=jax.random.PRNGKey(7), fused="on",
-                                    interpret=True, **kw)
-        for k in ("gen_seq", "gen_seq_root", "gen_seq_attr"):
-            np.testing.assert_array_equal(np.asarray(out_fused[k]),
-                                          np.asarray(out_ref[k]),
-                                          err_msg=f"B={B} {k}")
+        # "on" = plain batched kernels (XLA glue); "ends" = the batched
+        # auto default with embed/gate/head folded into the kernels
+        for mode in ("on", "ends"):
+            out_fused = generate_chords(model, variables,
+                                        rng=jax.random.PRNGKey(7),
+                                        fused=mode, interpret=True, **kw)
+            for k in ("gen_seq", "gen_seq_root", "gen_seq_attr"):
+                np.testing.assert_array_equal(np.asarray(out_fused[k]),
+                                              np.asarray(out_ref[k]),
+                                              err_msg=f"B={B} {mode} {k}")
 
 
 def test_fused_batch_step_logits_match_unfused(rng):
@@ -401,31 +404,37 @@ def test_fused_batch_step_logits_match_unfused(rng):
     _, primed = model.apply(variables, memory, method=model.prime,
                             mutable=["cache"])
 
-    step_logits = make_fused_batch_step(variables["params"], cfg,
-                                        block_b=2, interpret=True)
-    fused_caches = init_fused_batch_caches(variables["params"], cfg, B,
-                                           primed["cache"])
+    # ends=False: XLA glue (embed/gate/head outside the kernels);
+    # ends=True: the folded batched "auto" default — in-kernel one-hot
+    # embedding gathers, per-row in-kernel router + top-k combine, and
+    # the head folded into the last MoE kernel's finalize cell
+    for ends in (False, True):
+        step_logits = make_fused_batch_step(variables["params"], cfg,
+                                            block_b=2, interpret=True,
+                                            ends=ends)
+        fused_caches = init_fused_batch_caches(variables["params"], cfg, B,
+                                               primed["cache"])
 
-    tokens = rng.integers(0, C.CHORD_END, (8, B))
-    roots = rng.integers(0, 13, (8, B))
-    attrs = rng.integers(0, 14, (8, B))
-    key = feats["key"]
+        tokens = rng.integers(0, C.CHORD_END, (8, B))
+        roots = rng.integers(0, 13, (8, B))
+        attrs = rng.integers(0, 14, (8, B))
+        key = feats["key"]
 
-    flax_cache = primed["cache"]
-    for pos in range(8):
-        t = jnp.asarray(tokens[pos][:, None], jnp.int32)
-        r = jnp.asarray(roots[pos][:, None], jnp.int32)
-        a = jnp.asarray(attrs[pos][:, None], jnp.int32)
-        want, mutated = model.apply(
-            {**variables, "cache": flax_cache}, t, r, a, key,
-            jnp.asarray(pos, jnp.int32), method=model.decode_step,
-            mutable=["cache", "metrics", "moe_state"])
-        flax_cache = mutated["cache"]
-        got, fused_caches = step_logits(fused_caches, t, r, a, key,
-                                        jnp.asarray(pos, jnp.int32))
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=2e-4, atol=2e-5,
-                                   err_msg=f"pos={pos}")
+        flax_cache = primed["cache"]
+        for pos in range(8):
+            t = jnp.asarray(tokens[pos][:, None], jnp.int32)
+            r = jnp.asarray(roots[pos][:, None], jnp.int32)
+            a = jnp.asarray(attrs[pos][:, None], jnp.int32)
+            want, mutated = model.apply(
+                {**variables, "cache": flax_cache}, t, r, a, key,
+                jnp.asarray(pos, jnp.int32), method=model.decode_step,
+                mutable=["cache", "metrics", "moe_state"])
+            flax_cache = mutated["cache"]
+            got, fused_caches = step_logits(fused_caches, t, r, a, key,
+                                            jnp.asarray(pos, jnp.int32))
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=2e-4, atol=2e-5,
+                                       err_msg=f"ends={ends} pos={pos}")
 
 
 def test_topk_combine_matches_b1_kernel_semantics(rng):
@@ -467,6 +476,7 @@ def test_segmented_cache_generate_matches_unsegmented(rng):
     cases = [
         ("2.2", 2, "off", {}),
         ("2.2", 2, "on", dict(interpret=True)),
+        ("2.2", 2, "ends", dict(interpret=True)),
         ("2.2", 1, "ends", dict(interpret=True)),
         (None, 2, "off", {}),
     ]

@@ -71,6 +71,10 @@ def parity():
     fused_caches = init_fused_batch_caches(variables["params"], cfg, B,
                                            primed["cache"])
     jit_fused = jax.jit(step_logits)
+    ends_caches = init_fused_batch_caches(variables["params"], cfg, B,
+                                          primed["cache"])
+    jit_ends = jax.jit(make_fused_batch_step(variables["params"], cfg,
+                                             ends=True))
 
     def xla_step(cache, t, r, a, k, pos):
         logits, mutated = model.apply(
@@ -98,15 +102,19 @@ def parity():
         p = jnp.asarray(pos, jnp.int32)
         want, flax_cache = jit_xla(flax_cache, t, r, a, feats["key"], p)
         got, fused_caches = jit_fused(fused_caches, t, r, a, feats["key"], p)
+        got_e, ends_caches = jit_ends(ends_caches, t, r, a, feats["key"], p)
         got1, fused1_caches = jit_fused1(fused1_caches, t[:1], r[:1], a[:1],
                                          feats["key"][:1], p)
         scale = float(jnp.max(jnp.abs(np.asarray(want))))
         diff = float(jnp.max(jnp.abs(np.asarray(got) - np.asarray(want))))
+        diff_e = float(jnp.max(jnp.abs(np.asarray(got_e)
+                                       - np.asarray(want))))
         nf = float(jnp.max(jnp.abs(np.asarray(got1)
                                    - np.asarray(want[:1]))))
-        worst = max(worst, diff / max(scale, 1e-6))
+        worst = max(worst, diff / max(scale, 1e-6), diff_e / max(scale, 1e-6))
         floor = max(floor, nf / max(scale, 1e-6))
         print(f"pos={pos} rel(batchfused-xla)={diff / max(scale, 1e-6):.3e} "
+              f"rel(ends-xla)={diff_e / max(scale, 1e-6):.3e} "
               f"rel(b1fused-xla)={nf / max(scale, 1e-6):.3e}", flush=True)
     assert worst < max(5 * floor, 5e-3), \
         f"parity FAILED: rel={worst} b1_fused_floor={floor}"
@@ -350,14 +358,17 @@ def stack_micro(reps=5, n_lo=50, n_hi=350):
               flush=True)
 
 
-def timing(B=32, reps=5, n_lo=1, n_hi=4, segments=(0,)):
+def timing(B=32, reps=5, n_lo=1, n_hi=4, segments=(0,),
+           modes=("off", "on")):
     """Fused-vs-XLA batched decode at batch size B (argv: timing [B]).
 
     ``segments`` sweeps GenerateConfig.cache_segments (0 = auto): the
     segmented scan compiles each position range against a statically
     sliced self-cache prefix, cutting early-step cache-read traffic —
     expected to matter exactly where the batched decode is HBM-bound on
-    full-cache reads (B>=16, see BACKLOG 'B>1 fused decode kernels')."""
+    full-cache reads (B>=16, see BACKLOG 'B>1 fused decode kernels').
+    ``modes`` sweeps the fused backend: "on" = plain batched kernels
+    (XLA glue), "ends" = embed/gate/head folded into the kernels."""
     from video2music_tpu.decode.sampler import (GenerateConfig,
                                                 generate_chords)
     rng = np.random.default_rng(1)
@@ -393,7 +404,7 @@ def timing(B=32, reps=5, n_lo=1, n_hi=4, segments=(0,)):
 
     combine = jax.jit(lambda seqs: jnp.stack(seqs).sum())
 
-    for fused in ("off", "on"):
+    for fused in modes:
         for n_seg in segments:
             jitted = run(fused, n_seg)
             tag = f"fused={fused} seg={n_seg}"
@@ -432,6 +443,9 @@ if __name__ == "__main__":
         timing(B=int(sys.argv[2]) if len(sys.argv) > 2 else 32,
                segments=tuple(int(s) for s in sys.argv[3].split(","))
                if len(sys.argv) > 3 else (1, 2, 4, 8))
+    if mode == "endstiming":  # batched ends backend vs plain, seg auto
+        timing(B=int(sys.argv[2]) if len(sys.argv) > 2 else 32,
+               segments=(0,), modes=("on", "ends"))
     if mode == "stack":
         stack_parity()
         stack_timing()

@@ -333,21 +333,31 @@ def init_fused_batch_caches(params: Dict[str, Any], cfg, B: int,
 
 
 def make_fused_batch_step(params: Dict[str, Any], cfg, *,
-                          block_b: int = None, interpret: bool = False):
+                          block_b: int = None, interpret: bool = False,
+                          ends: bool = False):
     """Batched (B>1) fused step: step_logits(caches, token, token_root,
     token_attr, key, pos) -> (logits (B, CHORD_SIZE), new_caches).
 
     Each layer runs as the B-blocked attention kernel
     (ops/pallas_decode_batch.batched_layer_step) + for MoE layers the
-    weight-stationary expert kernel; the gate itself is a tiny (B, E) XLA
-    matmul + :func:`topk_combine`. int8 is not wired on this path (the
+    weight-stationary expert kernel. int8 is not wired on this path (the
     batched step is cache/weight-traffic bound with weights read once per
-    step; use the B=1 fused path or XLA fake-quant for int8)."""
+    step; use the B=1 fused path or XLA fake-quant for int8).
+
+    ``ends=False`` keeps the step's glue in XLA: chord embedding, per-deep-
+    layer gate matmul + :func:`topk_combine`, final LayerNorm + chord
+    head. ``ends=True`` (the batched "auto" default, mirroring the B=1
+    ends backend) folds that glue into the kernels: the embedding +
+    Linear_chord prologue rides in the FIRST layer's attention kernel
+    (when it is shallow), every MoE layer computes its router + top-k
+    combine in-kernel, and the LAST layer's MoE kernel emits the final
+    logits — deleting ~35 small XLA ops per decode step."""
     assert fused_decode_eligible(cfg)
     packed = pack_decoder_layers(params, cfg, quantize=None)
     rope = cfg.decoder_layers[0].attn.rope
     H = cfg.num_heads
     k_top = cfg.moe.n_experts_per_token
+    L = len(packed)
 
     emb_root = params["embedding_root"]["embedding"]
     emb_attr = params["embedding_attr"]["embedding"]
@@ -357,29 +367,56 @@ def make_fused_batch_step(params: Dict[str, Any], cfg, *,
     bout = params["Wout"]["bias"]
     dnorm = params["decoder_norm"]
 
+    # ends folding applies where the layer kinds allow it (every fused-
+    # eligible V2 config is shallow-first/MoE-last); other shapes keep
+    # the XLA glue for that end
+    D = cfg.d_model
+    embed_first = ends and "gate_w" not in packed[0]
+    head_last = ends and "gate_w" in packed[-1]
+    embed_pack = {"emb_root": emb_root, "emb_attr": emb_attr,
+                  "lc_w": lc_w[:D], "lc_krow": lc_w[D:D + 1],
+                  "lc_b": lc_b.reshape(1, -1)}
+    head_pack = {"dn_scale": dnorm["scale"].reshape(1, -1),
+                 "dn_bias": dnorm["bias"].reshape(1, -1),
+                 "wout": wout, "bout": bout.reshape(1, -1)}
+
     def step_logits(caches, token, token_root, token_attr, key, pos):
-        emb = emb_root[token_root] + emb_attr[token_attr]  # (B, 1, D)
-        k = jnp.reshape(key.astype(emb.dtype), (emb.shape[0], 1, 1))
-        x = jnp.concatenate(
-            [emb, jnp.broadcast_to(k, (*emb.shape[:2], 1))], axis=-1)
-        x = (jnp.dot(x, lc_w) + lc_b)[:, 0]  # (B, D)
+        if embed_first:
+            x = None  # the first kernel computes it from the tokens
+        else:
+            emb = emb_root[token_root] + emb_attr[token_attr]  # (B, 1, D)
+            k = jnp.reshape(key.astype(emb.dtype), (emb.shape[0], 1, 1))
+            x = jnp.concatenate(
+                [emb, jnp.broadcast_to(k, (*emb.shape[:2], 1))], axis=-1)
+            x = (jnp.dot(x, lc_w) + lc_b)[:, 0]  # (B, D)
 
         new = dict(caches)
         for i, layer in enumerate(packed):
+            fold_embed = embed_first and i == 0
             y, k_row, v_row = batched_layer_step(
                 x, pos, layer, caches[f"k{i}"], caches[f"v{i}"],
                 caches[f"ck{i}"], caches[f"cv{i}"],
-                n_heads=H, rope=rope, block_b=block_b, interpret=interpret)
+                n_heads=H, rope=rope, block_b=block_b, interpret=interpret,
+                tokens=((token_root, token_attr, key) if fold_embed
+                        else None),
+                embed_pack=embed_pack if fold_embed else None)
             if "gate_w" in layer:  # deep: y is post-norm2 x2
-                # same dtypes as the B=1 kernel's gate: compute-dtype
-                # operands, f32 accumulate (a rounding flip here would
-                # change expert SELECTION, not just numerics)
-                gl = jnp.dot(y, layer["gate_w"],
-                             preferred_element_type=jnp.float32)
-                gl = gl + layer["gate_b"].astype(jnp.float32)  # (B, E)
-                cw = topk_combine(gl, k_top)
-                x = batched_moe_ffn(y, cw, layer, k_top=k_top,
-                                    interpret=interpret)
+                fold_head = head_last and i == L - 1
+                if ends:
+                    x = batched_moe_ffn(
+                        y, None, layer, k_top=k_top, interpret=interpret,
+                        gate=True,
+                        head_pack=head_pack if fold_head else None)
+                else:
+                    # same dtypes as the B=1 kernel's gate: compute-dtype
+                    # operands, f32 accumulate (a rounding flip here would
+                    # change expert SELECTION, not just numerics)
+                    gl = jnp.dot(y, layer["gate_w"],
+                                 preferred_element_type=jnp.float32)
+                    gl = gl + layer["gate_b"].astype(jnp.float32)  # (B, E)
+                    cw = topk_combine(gl, k_top)
+                    x = batched_moe_ffn(y, cw, layer, k_top=k_top,
+                                        interpret=interpret)
             else:
                 x = y
             p = jnp.asarray(pos, jnp.int32)
@@ -389,6 +426,8 @@ def make_fused_batch_step(params: Dict[str, Any], cfg, *,
             new[f"v{i}"] = jax.lax.dynamic_update_slice(
                 caches[f"v{i}"], v_row[:, None, :].astype(
                     caches[f"v{i}"].dtype), (0, p, 0))
+        if head_last:
+            return x, new  # the last MoE kernel already emitted logits
         x = _layer_norm(x, dnorm)
         logits = jnp.dot(x, wout) + bout  # (B, CHORD_SIZE)
         return logits, new

@@ -324,10 +324,13 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
     elif use_fused:
         # B>1: B-blocked attention kernels + weight-stationary MoE kernel
         # (ops/pallas_decode_batch) — same step_logits signature, caches
-        # carry a batch dimension
+        # carry a batch dimension. "auto"/"ends" folds the embed/gate/head
+        # glue into the kernels (the batched analogue of the B=1 ends
+        # backend); "on" keeps the glue in XLA for exact-parity tests.
         from .fused import init_fused_batch_caches, make_fused_batch_step
         step_logits = make_fused_batch_step(variables["params"], model.cfg,
-                                            interpret=interpret)
+                                            interpret=interpret,
+                                            ends=fused in ("auto", "ends"))
         cache = init_fused_batch_caches(variables["params"], model.cfg, B,
                                         cache)
     else:

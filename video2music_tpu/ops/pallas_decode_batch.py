@@ -114,19 +114,42 @@ def _swiglu_b(x_bf, w1g, b1g, w2, b2):
                        jnp.float32)
 
 
-def _batched_prologue(pos_ref, x_ref, cos_ref, sin_ref, wqkv, bqkv, wo, bo,
+def _embed_rows_b(root_ref, attr_ref, key_ref, er, ea, lcw, lck, lcb,
+                  dtype):
+    """(Bb, 1) token/key refs -> (Bb, D) embedded rows: one-hot matmul
+    gathers (dynamic row loads don't lower) + the Linear_chord
+    concat-with-key matmul decomposed as emb @ W[:D] + key * W[D] + b —
+    the B=1 flat-monolith embed (pallas_decode_stack), vectorized over
+    sublane rows."""
+    Bb = root_ref.shape[0]
+    nroot, nattr = er.shape[0], ea.shape[0]
+    oh_r = (jax.lax.broadcasted_iota(jnp.int32, (Bb, nroot), 1)
+            == root_ref[:]).astype(jnp.float32)
+    oh_a = (jax.lax.broadcasted_iota(jnp.int32, (Bb, nattr), 1)
+            == attr_ref[:]).astype(jnp.float32)
+    emb = (jnp.dot(oh_r, er[:].astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+           + jnp.dot(oh_a, ea[:].astype(jnp.float32),
+                     preferred_element_type=jnp.float32))
+    x = jnp.dot(emb.astype(dtype), lcw[:].astype(dtype),
+                preferred_element_type=jnp.float32)
+    x = x + key_ref[:].astype(jnp.float32) * lck[:].astype(jnp.float32)
+    return (x + lcb[:].astype(jnp.float32)).astype(dtype)
+
+
+def _batched_prologue(pos_ref, x0, cos_ref, sin_ref, wqkv, bqkv, wo, bo,
                       cwq, cbq, cwo, cbo, nscale, nbias, kx_ref, vx_ref,
                       kc_ref, vc_ref, kn_ref, vn_ref, n_heads, rope, S, Sm):
-    """Self + cross attention sublayers for one B-block. Returns x2
-    (post-norm2, f32) and writes this position's roped K/V rows to
-    kn_ref/vn_ref (the caller appends them to the HBM caches)."""
+    """Self + cross attention sublayers for one B-block. ``x0`` is the
+    (Bb, D) input activation (already loaded/computed by the caller).
+    Returns x2 (post-norm2, f32) and writes this position's roped K/V
+    rows to kn_ref/vn_ref (the caller appends them to the HBM caches)."""
     pos = pos_ref[0]
     if rope:
         # (1, D) rows for THIS position, sliced once per step by the
         # caller (full f32 tables would cost 2x (S, D) VMEM per layer)
         cos_p = cos_ref[:]
         sin_p = sin_ref[:]
-    x0 = x_ref[:]                          # (Bb, D)
     Bb, D = x0.shape
 
     qkv = jnp.dot(x0, wqkv[:].astype(x0.dtype),
@@ -173,45 +196,96 @@ def _batched_prologue(pos_ref, x_ref, cos_ref, sin_ref, wqkv, bqkv, wo, bo,
     return _layer_norm(x1 + ch, nscale[1:2, :], nbias[1:2, :])
 
 
-def _shallow_kernel_b(pos_ref, x_ref, cos_ref, sin_ref,
-                      wqkv, bqkv, wo, bo, cwq, cbq, cwo, cbo,
-                      nscale, nbias, fw1g, fb1g, fw2, fb2,
-                      kx_ref, vx_ref, kc_ref, vc_ref,
-                      y_ref, kn_ref, vn_ref, *, n_heads, rope, S, Sm):
-    x2 = _batched_prologue(pos_ref, x_ref, cos_ref, sin_ref, wqkv, bqkv,
+def _attn_kernel_b(*refs, n_heads, rope, S, Sm, shallow, embed):
+    """One B-block of the attention half (plus the SwiGLU FFN when
+    ``shallow``). With ``embed`` the kernel absorbs the chord-embedding +
+    Linear_chord prologue ("ends" folding, decode/fused.py): the block's
+    token/key rows ride in as (Bb, 1) refs instead of an x block."""
+    it = iter(refs)
+    pos_ref = next(it)
+    if embed:
+        root_ref, attr_ref, key_ref = next(it), next(it), next(it)
+        er, ea, lcw, lck, lcb = (next(it), next(it), next(it), next(it),
+                                 next(it))
+    else:
+        x_ref = next(it)
+    cos_ref, sin_ref = next(it), next(it)
+    (wqkv, bqkv, wo, bo, cwq, cbq, cwo, cbo,
+     nscale, nbias) = (next(it) for _ in range(10))
+    if shallow:
+        fw1g, fb1g, fw2, fb2 = next(it), next(it), next(it), next(it)
+    kx_ref, vx_ref, kc_ref, vc_ref = next(it), next(it), next(it), next(it)
+    y_ref, kn_ref, vn_ref = next(it), next(it), next(it)
+
+    if embed:
+        x0 = _embed_rows_b(root_ref, attr_ref, key_ref, er, ea, lcw, lck,
+                           lcb, y_ref.dtype)
+    else:
+        x0 = x_ref[:]
+    x2 = _batched_prologue(pos_ref, x0, cos_ref, sin_ref, wqkv, bqkv,
                            wo, bo, cwq, cbq, cwo, cbo, nscale, nbias,
                            kx_ref, vx_ref, kc_ref, vc_ref, kn_ref, vn_ref,
                            n_heads, rope, S, Sm)
-    h = _swiglu_b(x2.astype(x_ref.dtype), fw1g[:], fb1g[:], fw2[:], fb2[:])
-    x3 = _layer_norm(x2 + h, nscale[2:3, :], nbias[2:3, :])
-    y_ref[:] = x3.astype(y_ref.dtype)
-
-
-def _deep_attn_kernel_b(pos_ref, x_ref, cos_ref, sin_ref,
-                        wqkv, bqkv, wo, bo, cwq, cbq, cwo, cbo,
-                        nscale, nbias, kx_ref, vx_ref, kc_ref, vc_ref,
-                        y_ref, kn_ref, vn_ref, *, n_heads, rope, S, Sm):
-    x2 = _batched_prologue(pos_ref, x_ref, cos_ref, sin_ref, wqkv, bqkv,
-                           wo, bo, cwq, cbq, cwo, cbo, nscale, nbias,
-                           kx_ref, vx_ref, kc_ref, vc_ref, kn_ref, vn_ref,
-                           n_heads, rope, S, Sm)
+    if shallow:
+        h = _swiglu_b(x2.astype(y_ref.dtype), fw1g[:], fb1g[:], fw2[:],
+                      fb2[:])
+        x2 = _layer_norm(x2 + h, nscale[2:3, :], nbias[2:3, :])
     y_ref[:] = x2.astype(y_ref.dtype)
 
 
-def _moe_kernel_b(x2_ref, cw_ref, gw1g_ref, gw2_ref, eb1g, eb2,
-                  sw1g, sb1g, sw2, sb2, nscale, nbias,
-                  out_ref, acc_ref, *, n_experts, k_top):
+def _moe_kernel_b(*refs, n_experts, k_top, gate, head):
     """Grid cell j: j==0 computes the always-on shared expert (/k_top);
     cells 1..E add routed expert j-1 weighted by its combine weight; the
     LAST cell also applies the residual + closing LayerNorm. The expert
     weights stream through VMEM once per STEP (not per token/row):
     gw1g/gw2 are (1, D, 2F)/(1, F, D) blocks of the stacked expert arrays,
-    indexed max(j-1, 0) so cell 0's fetch is reused by cell 1."""
+    indexed max(j-1, 0) so cell 0's fetch is reused by cell 1.
+
+    ``gate``: compute the router in-kernel (cell 0) — gate matmul +
+    vectorized eval-mode top-k combine (first-index tie-break via a
+    min-over-masked-iota, matching jnp.argmax / decode/fused.topk_combine)
+    into a (B, E) scratch — instead of reading caller-side combine
+    weights. ``head``: the last cell folds the final LayerNorm + chord
+    head ("ends" folding) and out_ref is (B, CHORD_SIZE) logits."""
+    it = iter(refs)
+    x2_ref = next(it)
+    if gate:
+        gate_w, gate_b = next(it), next(it)
+    else:
+        cw_ref = next(it)
+    (gw1g_ref, gw2_ref, eb1g, eb2, sw1g, sb1g, sw2, sb2,
+     nscale, nbias) = (next(it) for _ in range(10))
+    if head:
+        dns, dnb, wout, bout = next(it), next(it), next(it), next(it)
+    out_ref = next(it)
+    acc_ref = next(it)
+    cw_scr = next(it) if gate else None
+
     j = pl.program_id(0)
     x2 = x2_ref[:]                       # (B, D) compute dtype
 
     @pl.when(j == 0)
     def _shared():
+        if gate:
+            gl = jnp.dot(x2, gate_w[:],
+                         preferred_element_type=jnp.float32)
+            gl = gl + gate_b[:].astype(jnp.float32)      # (B, E) f32
+            lanes = jax.lax.broadcasted_iota(jnp.int32, gl.shape, 1)
+            remaining = gl
+            sel = []
+            for _ in range(k_top):
+                m = jnp.max(remaining, axis=-1, keepdims=True)
+                first = jnp.min(
+                    jnp.where(remaining == m, lanes, n_experts),
+                    axis=-1, keepdims=True)
+                oh = (lanes == first).astype(jnp.float32)
+                sel.append((m, oh))
+                remaining = jnp.where(oh > 0, NEG_INF, remaining)
+            m0 = sel[0][0]
+            exps = [jnp.exp(m - m0) for m, _ in sel]
+            denom = sum(exps)
+            cw_scr[:] = sum((e / denom) * oh
+                            for e, (_, oh) in zip(exps, sel))
         acc_ref[:] = _swiglu_b(x2, sw1g[:], sb1g[:], sw2[:],
                                sb2[:]) / float(k_top)
 
@@ -227,7 +301,8 @@ def _moe_kernel_b(x2_ref, cw_ref, gw1g_ref, gw2_ref, eb1g, eb2,
                         preferred_element_type=jnp.float32)
         b2_j = jnp.dot(onehot, eb2[:].astype(jnp.float32),
                        preferred_element_type=jnp.float32)
-        cj = jnp.dot(cw_ref[:].astype(jnp.float32), onehot.T,
+        cw = cw_scr[:] if gate else cw_ref[:].astype(jnp.float32)
+        cj = jnp.dot(cw, onehot.T,
                      preferred_element_type=jnp.float32)  # (B, 1)
         yj = _swiglu_b(x2, gw1g_ref[0], b1g_j, gw2_ref[0], b2_j)
         acc_ref[:] = acc_ref[:] + cj * yj
@@ -236,7 +311,17 @@ def _moe_kernel_b(x2_ref, cw_ref, gw1g_ref, gw2_ref, eb1g, eb2,
     def _finalize():
         x3 = _layer_norm(x2.astype(jnp.float32) + acc_ref[:],
                          nscale[2:3, :], nbias[2:3, :])
-        out_ref[:] = x3.astype(out_ref.dtype)
+        if head:
+            # layer-boundary rounding to compute dtype, then final
+            # LayerNorm + chord head — bit-parity with the XLA epilogue
+            xb = x3.astype(x2.dtype)
+            xf = _layer_norm(xb, dns[:], dnb[:])
+            out = jnp.dot(xf.astype(x2.dtype), wout[:].astype(x2.dtype),
+                          preferred_element_type=jnp.float32)
+            out_ref[:] = (out + bout[:].astype(jnp.float32)).astype(
+                out_ref.dtype)
+        else:
+            out_ref[:] = x3.astype(out_ref.dtype)
 
 
 def _vmem(block=None, index_map=None):
@@ -256,12 +341,14 @@ def pick_block_b(B: int) -> int:
 
 def batched_layer_step(x, pos, layer: Dict[str, Any], k_cache, v_cache,
                        k_cross, v_cross, *, n_heads: int, rope: bool,
-                       block_b: int = None, interpret: bool = False):
+                       block_b: int = None, interpret: bool = False,
+                       tokens=None, embed_pack: Dict[str, Any] = None):
     """Attention half (plus FFN for shallow layers) of one fused BATCHED
     decoder-layer step.
 
     Args:
-      x: (B, D) activations.
+      x: (B, D) activations (ignored — pass None — when ``tokens`` is
+        given).
       pos: scalar int32 current position (same for every batch element —
         generate_batch pads primers on-device, positions align).
       layer: packed weights (ops/pallas_decode.pack_decoder_layers).
@@ -269,14 +356,18 @@ def batched_layer_step(x, pos, layer: Dict[str, Any], k_cache, v_cache,
         append the returned rows with
         ``jax.lax.dynamic_update_slice(cache, rows[:, None], (0, pos, 0))``.
       k_cross/v_cross: (B, Sm, D) primed memory K/V.
+      tokens: optional (token_root, token_attr, key) arrays of shape
+        (B,)/(B, 1) — folds the chord-embedding + Linear_chord prologue
+        into this (first) layer's kernel ("ends" mode); requires
+        ``embed_pack`` with emb_root/emb_attr/lc_w/lc_krow/lc_b
+        (decode/fused.py builds it).
     Returns:
       (y, k_row, v_row): y is (B, D) — the full layer output for shallow
       (SwiGLU) layers, or the post-norm2 activation for deep (MoE) layers
       (feed it to :func:`batched_moe_ffn`); k_row/v_row are the (B, D)
       roped K/V rows for position ``pos``.
     """
-    B, D = x.shape
-    S = k_cache.shape[1]
+    B, S, D = k_cache.shape
     Sm = k_cross.shape[1]
     hd = D // n_heads
     if block_b is None:
@@ -297,11 +388,26 @@ def batched_layer_step(x, pos, layer: Dict[str, Any], k_cache, v_cache,
     cos_p = jax.lax.dynamic_slice_in_dim(jnp.asarray(cos), p, 1, axis=0)
     sin_p = jax.lax.dynamic_slice_in_dim(jnp.asarray(sin), p, 1, axis=0)
     deep = "gate_w" in layer
+    embed = tokens is not None
+    dtype = layer["wqkv"].dtype if embed else x.dtype
 
     grid = (B // block_b,)
     full = lambda a: _vmem(a.shape, lambda i: (0,) * a.ndim)
     slab = lambda n: _vmem((block_b * n, D), lambda i: (i, 0))
     row_block = _vmem((block_b, D), lambda i: (i, 0))
+    tok_block = _vmem((block_b, 1), lambda i: (i, 0))
+
+    if embed:
+        tr, ta, kk = tokens
+        lead = [jnp.asarray(tr, jnp.int32).reshape(B, 1),
+                jnp.asarray(ta, jnp.int32).reshape(B, 1),
+                jnp.asarray(kk, jnp.float32).reshape(B, 1),
+                embed_pack["emb_root"], embed_pack["emb_attr"],
+                embed_pack["lc_w"], embed_pack["lc_krow"],
+                embed_pack["lc_b"]]
+        lead_specs = [tok_block] * 3 + [full(a) for a in lead[3:]]
+    else:
+        lead, lead_specs = [x], [row_block]
 
     weights = [layer["wqkv"], layer["bqkv"], layer["wo"], layer["bo"],
                layer["cwq"], layer["cbq"], layer["cwo"], layer["cbo"],
@@ -309,25 +415,23 @@ def batched_layer_step(x, pos, layer: Dict[str, Any], k_cache, v_cache,
     if not deep:
         weights += [layer["fw1g"], layer["fb1g"], layer["fw2"],
                     layer["fb2"]]
-        kernel = functools.partial(_shallow_kernel_b, n_heads=n_heads,
-                                   rope=rope, S=S, Sm=Sm)
-    else:
-        kernel = functools.partial(_deep_attn_kernel_b, n_heads=n_heads,
-                                   rope=rope, S=S, Sm=Sm)
+    kernel = functools.partial(_attn_kernel_b, n_heads=n_heads,
+                               rope=rope, S=S, Sm=Sm, shallow=not deep,
+                               embed=embed)
 
-    args = ([pos_arr, x, cos_p, sin_p] + weights
+    args = ([pos_arr] + lead + [cos_p, sin_p] + weights
             + [k_cross.reshape(B * Sm, D), v_cross.reshape(B * Sm, D),
                k_cache.reshape(B * S, D), v_cache.reshape(B * S, D)])
     in_specs = (
-        [pl.BlockSpec(memory_space=pltpu.SMEM), row_block,
-         full(cos_p), full(sin_p)]
+        [pl.BlockSpec(memory_space=pltpu.SMEM)] + lead_specs
+        + [full(cos_p), full(sin_p)]
         + [full(w) for w in weights]
         + [slab(Sm), slab(Sm), slab(S), slab(S)])
 
     y, k_row, v_row = pl.pallas_call(
         kernel,
         grid=grid,
-        out_shape=(jax.ShapeDtypeStruct((B, D), x.dtype),
+        out_shape=(jax.ShapeDtypeStruct((B, D), dtype),
                    jax.ShapeDtypeStruct((B, D), k_cache.dtype),
                    jax.ShapeDtypeStruct((B, D), v_cache.dtype)),
         in_specs=in_specs,
@@ -348,7 +452,8 @@ def batched_layer_step(x, pos, layer: Dict[str, Any], k_cache, v_cache,
 
 
 def batched_moe_ffn(x2, combine_weights, layer: Dict[str, Any], *,
-                    k_top: int = 2, interpret: bool = False):
+                    k_top: int = 2, interpret: bool = False,
+                    gate: bool = False, head_pack: Dict[str, Any] = None):
     """MoE FFN half of a deep layer for the whole batch: shared expert +
     combine-weighted routed experts + residual/closing LayerNorm, expert
     weights streamed through VMEM once per step (weight-stationary over
@@ -358,36 +463,54 @@ def batched_moe_ffn(x2, combine_weights, layer: Dict[str, Any], *,
       x2: (B, D) post-norm2 activations from :func:`batched_layer_step`.
       combine_weights: (B, E) f32 eval-mode top-k combine weights (zero
         for unselected experts) — ``decode/fused.py:topk_combine``.
+        Ignored (pass None) with ``gate=True``, which computes the router
+        + top-k combine IN-KERNEL from the layer's gate_w/gate_b instead.
+      head_pack: optional dn_scale/dn_bias/wout/bout dict — folds the
+        final LayerNorm + chord head into the last cell ("ends" mode) and
+        returns (B, CHORD_SIZE) logits instead of x3.
     Returns:
-      (B, D) layer output x3.
+      (B, D) layer output x3, or (B, CHORD_SIZE) logits with head_pack.
     """
     B, D = x2.shape
     E, _, F2 = layer["ew1g"].shape
     F = F2 // 2
     grid = (E + 1,)
     full = lambda a: _vmem(a.shape, lambda j: (0,) * a.ndim)
+    head = head_pack is not None
+    n_out = head_pack["wout"].shape[-1] if head else D
+
+    if gate:
+        route = [layer["gate_w"], layer["gate_b"]]
+    else:
+        route = [combine_weights]
+    tail = ([head_pack["dn_scale"], head_pack["dn_bias"],
+             head_pack["wout"], head_pack["bout"]] if head else [])
+    scratch = [pltpu.VMEM((B, D), jnp.float32)]
+    if gate:
+        scratch.append(pltpu.VMEM((B, E), jnp.float32))
 
     out = pl.pallas_call(
-        functools.partial(_moe_kernel_b, n_experts=E, k_top=k_top),
+        functools.partial(_moe_kernel_b, n_experts=E, k_top=k_top,
+                          gate=gate, head=head),
         grid=grid,
-        out_shape=jax.ShapeDtypeStruct((B, D), x2.dtype),
-        in_specs=[
-            full(x2), full(combine_weights),
-            _vmem((1, D, F2), lambda j: (jnp.maximum(j - 1, 0), 0, 0)),
-            _vmem((1, F, D), lambda j: (jnp.maximum(j - 1, 0), 0, 0)),
-            full(layer["eb1g"]), full(layer["eb2"]),
-            full(layer["sw1g"]), full(layer["sb1g"]),
-            full(layer["sw2"]), full(layer["sb2"]),
-            full(layer["norm_scale"]), full(layer["norm_bias"]),
-        ],
-        out_specs=_vmem((B, D), lambda j: (0, 0)),
-        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((B, n_out), x2.dtype),
+        in_specs=(
+            [full(x2)] + [full(a) for a in route]
+            + [_vmem((1, D, F2), lambda j: (jnp.maximum(j - 1, 0), 0, 0)),
+               _vmem((1, F, D), lambda j: (jnp.maximum(j - 1, 0), 0, 0)),
+               full(layer["eb1g"]), full(layer["eb2"]),
+               full(layer["sw1g"]), full(layer["sb1g"]),
+               full(layer["sw2"]), full(layer["sb2"]),
+               full(layer["norm_scale"]), full(layer["norm_bias"])]
+            + [full(a) for a in tail]),
+        out_specs=_vmem((B, n_out), lambda j: (0, 0)),
+        scratch_shapes=scratch,
         # the accumulator carries across expert cells: strictly sequential
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
-    )(x2, combine_weights, layer["ew1g"], layer["ew2"], layer["eb1g"],
+    )(x2, *route, layer["ew1g"], layer["ew2"], layer["eb1g"],
       layer["eb2"], layer["sw1g"], layer["sb1g"], layer["sw2"],
-      layer["sb2"], layer["norm_scale"], layer["norm_bias"])
+      layer["sb2"], layer["norm_scale"], layer["norm_bias"], *tail)
     return out
