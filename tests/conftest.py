@@ -23,6 +23,61 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+# Quick tier: the full suite is ~35 min on this 1-core box; `-m "not slow"`
+# keeps it under ~10 min for inner-loop runs (full suite before committing).
+# Tests measured >=15 s (pytest --durations, virtual 8-device CPU mesh) are
+# marked slow here at collection so the list lives in one place.
+_SLOW_TESTS = {
+    "test_segmented_cache_generate_matches_unsegmented",
+    "test_fused_batch_generate_matches_unfused",
+    "test_train_amt_cli_parallel_sp",
+    "test_amt_pp_step_v2_flagship_matches_microbatched_oracle",
+    "test_fused_batch_step_logits_match_unfused",
+    "test_amt_pp_step_trains",
+    "test_train_amt_cli_parallel_pp",
+    "test_fused_monolith_step_logits_match_unfused",
+    "test_fused_ends_step_logits_match_unfused",
+    "test_amt_pp_step_matches_plain_step",
+    "test_fused_step_logits_match_unfused",
+    "test_train_amt_loop",
+    "test_generate_batch_sharded_over_data_mesh",
+    "test_auto_resume_from_latest_snapshot",
+    "test_fused_int8_step_matches_fake_quant_oracle",
+    "test_chunked_extraction_matches_monolithic",
+    "test_maxvit_tiny_forward",
+    "test_sharded_train_step_matches_single_device",
+    "test_wire_bf16_batch_matches_in_graph_cast",
+    "test_fused_stack_step_logits_match_unfused",
+    "test_tensor_parallel_train_step_matches_single_device",
+    "test_dynamic_batcher_mixes_temperatures",
+    "test_traced_temperature_matches_static",
+    "test_sequence_parallel_train_step_matches_single_device",
+    "test_params_only_resume_warns_about_lr_restart",
+    "test_video_requests_batch_through_shared_extraction",
+    "test_dynamic_batcher_coalesces",
+    "test_moe_balance_bias_updates",
+    "test_amt_train_mode_runs",
+    "test_remat_attention_matches",
+    "test_generate_batch_matches_seeded_shapes",
+    "test_generate_respects_constraints",
+    "test_int8_generate_runs_unfused_fake_quant",
+    "test_cached_decode_matches_full_forward",
+    "test_capacity_dispatch_drops_overflow",
+    "test_train_amt_writes_tensorboard",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: >=15 s on the CI box; excluded by -m 'not slow'")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.name.split("[")[0]
+        if base in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():
