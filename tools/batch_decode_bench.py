@@ -42,7 +42,11 @@ def _feats(rng, B, L, vf_sem, vf_extra):
     )
 
 
-def parity():
+def parity(bf16=False):
+    """Hardware parity of the batched fused kernels (plain + ends) vs the
+    XLA step path, with the B=1 fused kernel as the noise floor. ``bf16``
+    runs the production dtype — the kernels' compute-dtype MXU matmuls
+    (one-hot maps, prod->logits) only differ from f32 there."""
     from video2music_tpu.decode.fused import (init_fused_batch_caches,
                                               init_fused_caches,
                                               make_fused_batch_step,
@@ -60,6 +64,13 @@ def parity():
                            feats["semantic"], feats["key"],
                            feats["scene_offset"], feats["motion"],
                            feats["emotion"])
+    if bf16:
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, t)
+        variables = cast(variables)
+        feats = cast(feats)
+    print(f"parity dtype={'bf16' if bf16 else 'f32'}", flush=True)
     memory, _ = model.apply(variables, feats["semantic"],
                             feats["scene_offset"], feats["motion"],
                             feats["emotion"], method=model.encode,
@@ -437,6 +448,7 @@ if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "both"
     if mode in ("parity", "both"):
         parity()
+        parity(bf16=True)
     if mode in ("timing", "both"):
         timing(B=int(sys.argv[2]) if len(sys.argv) > 2 else 32)
     if mode == "segtiming":  # sweep cache_segments at batch B

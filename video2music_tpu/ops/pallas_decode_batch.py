@@ -78,15 +78,31 @@ def _row_map(n_rows: int, seg: int, n_seg: int):
 def _segmented_attention(q, k_slab, v_slab, n_heads, seg, *, pos=None):
     """q: (Bb, D) f32 (roped); k/v slabs (Bb*seg, D) — Bb batch elements'
     caches stacked along sublanes. Masked (row-in-segment <= pos) when pos
-    is given. Returns (Bb, D) f32."""
+    is given. Returns (Bb, D) f32.
+
+    MXU dtype discipline: the big (rows, *)@(*, D) matmuls — the one-hot
+    broadcast/gather maps and the prod->logits contraction — run with
+    COMPUTE-DTYPE operands + f32 accumulate. f32 operands run the MXU at
+    1/8 rate; bf16 one-hots are exact, and rounding the value operand
+    matches the XLA step path's own bf16 q@k / p@v matmuls (the softmax
+    itself stays f32, also like the XLA path). In f32 tests the casts are
+    no-ops, keeping the oracle comparison exact. Measured NEUTRAL at
+    d_model=512 (B=4/32 step times unchanged — the step is not MXU-bound
+    at reference dims); kept as headroom for larger d_model/S, where the
+    one-hot maps' Bb-fold redundant FLOPs grow. Hardware divergence vs
+    XLA stays below the B=1-kernel floor in both dtypes
+    (tools/batch_decode_bench.py parity)."""
     rows, D = k_slab.shape
     Bb = rows // seg
     hd = D // n_heads
+    cd = k_slab.dtype
     R = _head_map(D, n_heads)
     M = _row_map(rows, seg, Bb)
-    qx = jnp.dot(M, q, preferred_element_type=jnp.float32)  # (rows, D)
+    Mc = M.astype(cd)
+    qx = jnp.dot(Mc, q.astype(cd),
+                 preferred_element_type=jnp.float32)          # (rows, D)
     prod = qx * k_slab.astype(jnp.float32)
-    logits = jnp.dot(prod, R,
+    logits = jnp.dot(prod.astype(cd), R.astype(cd),
                      preferred_element_type=jnp.float32) * (hd ** -0.5)
     if pos is not None:
         in_seg = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) % seg
@@ -97,7 +113,8 @@ def _segmented_attention(q, k_slab, v_slab, n_heads, seg, *, pos=None):
     denom = jnp.dot(M.T, p, preferred_element_type=jnp.float32)  # (Bb, H)
     p = p / jnp.dot(M, denom, preferred_element_type=jnp.float32)
     p_full = jnp.dot(p, R.T, preferred_element_type=jnp.float32)
-    return jnp.dot(M.T, p_full * v_slab.astype(jnp.float32),
+    pv = p_full * v_slab.astype(jnp.float32)
+    return jnp.dot(Mc.T, pv.astype(cd),
                    preferred_element_type=jnp.float32)        # (Bb, D)
 
 
@@ -162,17 +179,19 @@ def _batched_prologue(pos_ref, x0, cos_ref, sin_ref, wqkv, bqkv, wo, bo,
     kn_ref[:] = k.astype(kn_ref.dtype)
     vn_ref[:] = v.astype(vn_ref.dtype)
 
-    # splice this position's K/V into the (input-only) cache slabs
-    M = _row_map(Bb * S, S, Bb)
+    # splice this position's K/V into the (input-only) cache slabs (the
+    # broadcast map matmul runs compute-dtype on the MXU — the spliced
+    # row is rounded exactly like the appended row future steps read)
+    M = _row_map(Bb * S, S, Bb).astype(kc_ref.dtype)
     in_seg = jax.lax.broadcasted_iota(jnp.int32, (Bb * S, D), 0) % S
     k_slab = jnp.where(
         in_seg == pos,
-        jnp.dot(M, k.astype(jnp.float32),
+        jnp.dot(M, k.astype(kc_ref.dtype),
                 preferred_element_type=jnp.float32).astype(kc_ref.dtype),
         kc_ref[:])
     v_slab = jnp.where(
         in_seg == pos,
-        jnp.dot(M, v.astype(jnp.float32),
+        jnp.dot(M, v.astype(vc_ref.dtype),
                 preferred_element_type=jnp.float32).astype(vc_ref.dtype),
         vc_ref[:])
 
