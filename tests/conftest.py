@@ -73,10 +73,20 @@ def pytest_configure(config):
 
 
 def pytest_collection_modifyitems(config, items):
+    seen = set()
     for item in items:
         base = item.name.split("[")[0]
         if base in _SLOW_TESTS:
+            seen.add(base)
             item.add_marker(pytest.mark.slow)
+    # Guard against silent rot from renames: on a full-suite collection
+    # every listed name must still exist (partial runs — a single file or
+    # -k filter — legitimately match only a subset, so skip the check).
+    stale = _SLOW_TESTS - seen
+    if stale and len(items) > 250:
+        raise pytest.UsageError(
+            "tests/conftest.py _SLOW_TESTS lists tests that no longer "
+            f"exist (renamed?): {sorted(stale)}")
 
 
 @pytest.fixture

@@ -28,8 +28,10 @@ max, so the normalized result is identical).
 
 Semantics mirror the XLA path exactly (post-norm LayerNorm(eps=1e-5)
 residual blocks, f32 softmax, pairwise RoPE, -1e9 causal mask, eval-mode
-top-k over raw gate logits with softmax over the selected — the combine
-weights are computed by the caller, ``decode/fused.py:topk_combine``).
+top-k over raw gate logits with softmax over the selected — computed
+in-kernel by ``_moe_kernel_b`` with ``gate=True`` (the batched "ends"
+default), or by the caller via ``decode/fused.py:topk_combine`` in plain
+mode).
 Self-attention caches are PURE INPUTS here (the kernel attends over the
 cache with this position's K/V spliced in-register and returns the new
 rows; the caller appends them with one ``dynamic_update_slice`` — unlike
@@ -55,14 +57,19 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_decode import (LN_EPS, NEG_INF, _head_map, _layer_norm,
                             _rot_pairs, rope_tables_interleaved)
 
-# Largest batch the fused kernels beat the XLA step path at (measured,
-# full AMT 2.2 bf16, TPU v5e, tools/batch_decode_bench.py):
+# Largest batch the UNSEGMENTED fused kernels beat the unsegmented XLA
+# step path at (measured, full AMT 2.2 bf16, TPU v5e,
+# tools/batch_decode_bench.py):
 #   B=4: 20.8 vs 31.6 ms/clip (1.52x)   B=8: 16.3 vs 23.6 (1.45x)
 #   B=16: 13.7 vs 15.0 (1.10x)          B=32: 11.2 vs 10.2 (0.91x)
-# Small batches are op-dispatch bound (fusion wins); by B=32 the step is
-# HBM-bound on full-cache reads, which fusion does not cut — the XLA
-# path's better DMA/compute overlap takes over. generate_chords routes
-# fused="auto" batches above this through the XLA path.
+# Small batches are op-dispatch bound (fusion wins); by B=32 the
+# unsegmented step is HBM-bound on full-cache reads, which fusion alone
+# does not cut. KV-cache SEGMENTATION (GenerateConfig.cache_segments,
+# the B>1 default) trims exactly those reads and flips the crossover:
+# fused+seg4 beats XLA at every measured batch size (B=32 7.4 vs 10.2;
+# B=64 6.5 vs 8.0 ms/clip), so segmented fused="auto" stays fused
+# everywhere and this constant only gates the UNSEGMENTED
+# (cache_segments=1) auto routing.
 FUSED_BATCH_MAX_B = 16
 
 
@@ -299,7 +306,9 @@ def _moe_kernel_b(*refs, n_experts, k_top, gate, head):
                     axis=-1, keepdims=True)
                 oh = (lanes == first).astype(jnp.float32)
                 sel.append((m, oh))
-                remaining = jnp.where(oh > 0, NEG_INF, remaining)
+                # -inf (not NEG_INF) so a selected expert can never
+                # re-win, exactly like topk_combine's mask
+                remaining = jnp.where(oh > 0, -jnp.inf, remaining)
             m0 = sel[0][0]
             exps = [jnp.exp(m - m0) for m, _ in sel]
             denom = sum(exps)
