@@ -720,8 +720,9 @@ class Video2music:
 
         The per-token decode step is latency-bound at B=1 (the kernels'
         serial compute, not bandwidth), so rows are nearly free: measured
-        on TPU v5e, B=64 sustains ~37k tok/s aggregate (~8 ms/clip) vs
-        ~11k tok/s for pipelined B=1 calls. Clips with different primers
+        on TPU v5e, B=64 sustains ~46k tok/s aggregate (~6.5 ms/clip,
+        fused batched kernels + cache segmentation) vs ~16.7k tok/s for
+        pipelined B=1 calls. Clips with different primers
         and temperatures share the program: primer lengths and the
         sampling temperature are per-element traced inputs, not part of
         the compiled program.

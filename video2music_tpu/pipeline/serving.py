@@ -4,7 +4,7 @@ No reference counterpart: the reference's serving story is a gradio Space
 calling ``Video2music.generate()`` one request at a time (reference:
 ``video2music.py:1``, ``README.md:14-27``). On TPU the decode step is
 kernel-latency bound at B=1 while extra batch rows are nearly free
-(measured: B=64 sustains ~37k tok/s aggregate vs ~11k at B=1 — see
+(measured: B=64 sustains ~46k tok/s aggregate vs ~16.7k at B=1 — see
 ``pipeline/api.generate_batch``), so a serving frontend should coalesce
 concurrent requests into one compiled batched program. This module is that
 coalescing layer:
