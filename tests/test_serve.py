@@ -521,3 +521,120 @@ def test_http_stream_and_reload(extracting_v2m, tmp_path):
     finally:
         server.shutdown()
         app.stop()
+
+
+# ---------------------------------------------------------------------------
+# decode/render pipelining: host MIDI renders overlap the NEXT batch's decode
+# ---------------------------------------------------------------------------
+
+class _GatedV2M:
+    """Proxy over a Video2music that gates the render closure of selected
+    batches behind a threading.Event, to observe the decode/render overlap
+    deterministically."""
+
+    def __init__(self, v2m):
+        self._v2m = v2m
+        self.gate = threading.Event()
+        self.decodes = 0          # generate_batch returns (decode fetched)
+        self.renders_done = 0
+        self.fail_render = False
+        self._lock = threading.Lock()
+
+    def __getattr__(self, name):
+        return getattr(self._v2m, name)
+
+    def generate_batch(self, *args, **kwargs):
+        assert kwargs.get("defer_render"), "batcher must defer renders"
+        render = self._v2m.generate_batch(*args, **kwargs)
+        with self._lock:
+            self.decodes += 1
+
+        def gated():
+            self.gate.wait(timeout=120)
+            if self.fail_render:
+                raise RuntimeError("synthetic render bug")
+            out = render()
+            with self._lock:
+                self.renders_done += 1
+            return out
+
+        return gated
+
+
+def test_render_pipelines_behind_decode(tiny_v2m, tmp_path):
+    """While batch 1's host render is still running, the worker must have
+    already decoded batch 2 (the render thread, not the worker, runs
+    renders) — and a blocked render must not block streaming callbacks,
+    which fire at decode-fetch time."""
+    import time
+
+    proxy = _GatedV2M(tiny_v2m)
+    batcher = DynamicBatcher(proxy, max_batch=2, max_wait_ms=10,
+                             output_dir=str(tmp_path))
+    try:
+        streamed = []
+        f1 = batcher.submit(dict(features=_feats(8, 0), primer="C"),
+                            on_decoded=streamed.append)
+        deadline = time.monotonic() + 300
+        while proxy.decodes < 1 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert proxy.decodes == 1 and not f1.done()
+        assert len(streamed) == 1  # on_decoded fired before the render
+        # batch 1's render is gated; batch 2 must still decode
+        f2 = batcher.submit(dict(features=_feats(8, 1), primer="C"))
+        while proxy.decodes < 2 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert proxy.decodes == 2, "decode 2 must not wait on render 1"
+        assert not f1.done() and not f2.done()
+        proxy.gate.set()
+        (r1, _), (r2, _) = f1.result(120), f2.result(120)
+        assert len(r1.chords) == 8 and len(r2.chords) == 8
+        assert proxy.renders_done == 2
+    finally:
+        proxy.gate.set()
+        batcher.stop()
+
+
+def test_control_drains_inflight_renders(tiny_v2m, tmp_path):
+    """submit_control promises between-batches semantics: it must not run
+    until every dispatched batch's render has resolved."""
+    import time
+
+    proxy = _GatedV2M(tiny_v2m)
+    batcher = DynamicBatcher(proxy, max_batch=2, max_wait_ms=10,
+                             output_dir=str(tmp_path))
+    try:
+        f1 = batcher.submit(dict(features=_feats(8, 0), primer="C"))
+        deadline = time.monotonic() + 300
+        while proxy.decodes < 1 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        ctl = batcher.submit_control(lambda v2m: proxy.renders_done)
+        time.sleep(0.2)
+        assert not ctl.done(), "control ran while a render was in flight"
+        proxy.gate.set()
+        assert ctl.result(timeout=120) == 1  # render finished first
+        f1.result(timeout=120)
+    finally:
+        proxy.gate.set()
+        batcher.stop()
+
+
+def test_render_error_fails_only_its_batch(tiny_v2m, tmp_path):
+    """A render-stage exception fails that batch's futures; the render
+    thread and worker keep serving later batches."""
+    proxy = _GatedV2M(tiny_v2m)
+    proxy.gate.set()
+    proxy.fail_render = True
+    batcher = DynamicBatcher(proxy, max_batch=2, max_wait_ms=10,
+                             output_dir=str(tmp_path))
+    try:
+        bad = batcher.submit(dict(features=_feats(8, 0), primer="C"))
+        with pytest.raises(RuntimeError, match="synthetic render bug"):
+            bad.result(timeout=300)
+        proxy.fail_render = False
+        ok = batcher.submit(dict(features=_feats(8, 1), primer="C"))
+        res, _ = ok.result(timeout=300)
+        assert len(res.chords) == 8
+        assert batcher._worker.is_alive() and batcher._renderer.is_alive()
+    finally:
+        batcher.stop()

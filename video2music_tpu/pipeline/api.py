@@ -715,7 +715,7 @@ class Video2music:
                        compute_dtype: str = "bfloat16",
                        quantize: Optional[str] = None,
                        n_real: Optional[int] = None,
-                       on_decoded=None):
+                       on_decoded=None, defer_render: bool = False):
         """Batched serving: decode B clips in ONE compiled program.
 
         The per-token decode step is latency-bound at B=1 (the kernels'
@@ -742,9 +742,21 @@ class Video2music:
             called per real request as soon as the decode fetch lands —
             BEFORE any host-side MIDI/audio rendering. Streaming serving
             uses this to push chords to the client while renders run.
+          defer_render: if True, return a zero-arg callable instead of
+            the results — calling it runs the host-side MIDI/audio
+            renders and returns the results list. The decode is fetched
+            and ``on_decoded`` has fired by the time generate_batch
+            returns, so a serving layer can hand the closure to a render
+            thread and immediately dispatch the NEXT batch's decode: the
+            render (the serving host floor, ~0.06 s/clip on this 1-core
+            host) then overlaps the next batch's device decode + D2H
+            fetch. The closure touches only fetched host arrays and
+            module-level constants — it never reads model state, so it
+            cannot race a checkpoint hot-reload or the next decode.
         Returns:
           list of GenerateResult, one per (real) request (host-side
-          MIDI/audio rendering runs per clip, as in generate()).
+          MIDI/audio rendering runs per clip, as in generate()); or the
+          render closure when ``defer_render``.
         """
         if not requests:
             return []
@@ -837,16 +849,20 @@ class Video2music:
 
         ln_host = np.asarray(out["ln_nd"], np.float32)
         inst_host = np.asarray(out["instrument"], np.float32)
-        results = []
-        for i, (req, p) in enumerate(zip(requests[:n_real],
-                                         prepped[:n_real])):
-            results.append(self._postprocess(
-                gen_host[i], ln_host[i], inst_host[i],
-                p["emotion"], p["n_sec"], p["key"],
-                req.get("transposition_value", 0), p["out_dir"],
-                req.get("video"), correct_panning, req.get("sound_font"),
-                req.get("caption_overlays")))
-        return results
+
+        def render():
+            results = []
+            for i, (req, p) in enumerate(zip(requests[:n_real],
+                                             prepped[:n_real])):
+                results.append(self._postprocess(
+                    gen_host[i], ln_host[i], inst_host[i],
+                    p["emotion"], p["n_sec"], p["key"],
+                    req.get("transposition_value", 0), p["out_dir"],
+                    req.get("video"), correct_panning,
+                    req.get("sound_font"), req.get("caption_overlays")))
+            return results
+
+        return render if defer_render else render()
 
     # ------------------------------------------------------------------
     def _bf16_variables(self):

@@ -28,9 +28,19 @@ coalescing layer:
   * each caller gets a Future resolving to its ``GenerateResult``; an
     optional ``on_decoded`` callback streams the chords as soon as the
     decode fetch lands, before MIDI/audio rendering;
+  * host-side MIDI/audio rendering runs on a dedicated RENDER thread,
+    pipelined one batch deep behind the decode: the worker hands each
+    batch's render closure (``generate_batch(defer_render=True)`` — pure
+    host work over already-fetched arrays) to the renderer and
+    immediately gathers + dispatches the next batch, so the serving
+    floor is max(render, decode) per batch instead of their sum
+    (measured: 14.1 -> 17.9 sustained clips/s at width-16 on one v5e +
+    1-core host). The bounded hand-off queue is the backpressure: the
+    decode never runs more than ~2 batches ahead of the renderer;
   * :meth:`DynamicBatcher.submit_control` runs mutations (checkpoint
     hot-reload via ``Video2music.load_checkpoints``) on the worker thread
-    between batches, where they cannot race a running generate.
+    between batches, where they cannot race a running generate (render
+    closures never read model state, so in-flight renders are safe).
 
 Use via :class:`DynamicBatcher` directly, or the HTTP frontend in
 ``cli/serve.py``.
@@ -127,6 +137,15 @@ class DynamicBatcher:
         self._q: "queue.PriorityQueue" = queue.PriorityQueue(
             maxsize=max_queue)
         self._stop = threading.Event()
+        # decode->render hand-off, bounded so the decode runs at most
+        # ~2 batches ahead of the (slower, host-bound) renderer: one in
+        # this queue + one in flight on the render thread. put() blocking
+        # here IS the backpressure that keeps fetched batches from piling
+        # up on the host.
+        self._render_q: "queue.Queue" = queue.Queue(maxsize=1)
+        self._renderer = threading.Thread(target=self._render_loop,
+                                          daemon=True, name="v2m-render")
+        self._renderer.start()
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="v2m-batcher")
         self._worker.start()
@@ -198,6 +217,11 @@ class DynamicBatcher:
         except queue.Full:
             pass  # queue non-empty -> the worker isn't blocked on get()
         self._worker.join(timeout=5)
+        try:  # flush pending renders, then exit
+            self._render_q.put(None, timeout=30)
+        except queue.Full:
+            pass  # renderer wedged; it's a daemon thread
+        self._renderer.join(timeout=30)
 
     # ------------------------------------------------------------------
     def _take(self, timeout=None):
@@ -250,6 +274,11 @@ class DynamicBatcher:
         return [it for it in group if not self._expired(it)]
 
     def _exec_control(self, item: _Control) -> None:
+        # drain in-flight renders first: controls promise "between
+        # batches" semantics, so every dispatched batch fully resolves
+        # before the mutation runs (renders never read model state, but a
+        # control fn may do more than hot-reload)
+        self._render_q.join()
         try:
             item.future.set_result(item.fn(self.v2m))
         except Exception as exc:  # noqa: BLE001 — surface to the caller
@@ -307,10 +336,14 @@ class DynamicBatcher:
                     pass           # callback must not fail the batch
 
         try:
-            results = self.v2m.generate_batch(
+            # defer_render: the decode is fetched (and on_decoded fired)
+            # when this returns; the returned closure is the pure-host
+            # MIDI/audio render, handed to the render thread so the next
+            # batch's decode dispatches NOW instead of after the render
+            render = self.v2m.generate_batch(
                 requests, temperature=temps, n_real=n,
                 output_dir=self.output_dir, on_decoded=on_decoded,
-                **self.generate_kwargs)
+                defer_render=True, **self.generate_kwargs)
         except Exception as exc:  # surface to every caller in the batch
             for it in items:
                 it.future.set_exception(exc)
@@ -320,5 +353,29 @@ class DynamicBatcher:
             self.stats["batched_requests"] += n
             self.stats["max_batch_size"] = max(self.stats["max_batch_size"],
                                                n)
-        for it, res in zip(items, results):
-            it.future.set_result((res, bucket))
+        # blocks when the renderer is a full batch behind — the intended
+        # backpressure (see __init__)
+        self._render_q.put((items, bucket, render))
+
+    def _render_loop(self) -> None:
+        """Render-thread body: resolve each batch's futures after its
+        host-side MIDI/audio render, overlapping the worker's next
+        decode. Ordered per-queue, so futures of one batch resolve in
+        submission order and batches resolve FIFO."""
+        while True:
+            task = self._render_q.get()
+            try:
+                if task is None:
+                    return
+                items, bucket, render = task
+                try:
+                    results = render()
+                except Exception as exc:  # noqa: BLE001 — fail the batch,
+                    for it in items:      # keep rendering later ones
+                        if not it.future.done():
+                            it.future.set_exception(exc)
+                    continue
+                for it, res in zip(items, results):
+                    it.future.set_result((res, bucket))
+            finally:
+                self._render_q.task_done()
