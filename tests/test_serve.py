@@ -638,3 +638,64 @@ def test_render_error_fails_only_its_batch(tiny_v2m, tmp_path):
         assert batcher._worker.is_alive() and batcher._renderer.is_alive()
     finally:
         batcher.stop()
+
+
+def test_cancelled_future_does_not_kill_render_thread(tiny_v2m, tmp_path):
+    """A caller cancelling its future (e.g. after a result timeout) must
+    not crash the render thread: these futures are never set_running, so
+    cancel() succeeds and an unguarded set_result would raise
+    InvalidStateError, killing the renderer and wedging the worker."""
+    proxy = _GatedV2M(tiny_v2m)
+    batcher = DynamicBatcher(proxy, max_batch=2, max_wait_ms=10,
+                             output_dir=str(tmp_path))
+    try:
+        f1 = batcher.submit(dict(features=_feats(8, 0), primer="C"))
+        assert f1.cancel()  # before the render resolves it
+        proxy.gate.set()
+        ok = batcher.submit(dict(features=_feats(8, 1), primer="C"))
+        res, _ = ok.result(timeout=300)
+        assert len(res.chords) == 8
+        assert batcher._renderer.is_alive() and batcher._worker.is_alive()
+    finally:
+        proxy.gate.set()
+        batcher.stop()
+
+
+def test_stop_waits_for_inflight_decode(tiny_v2m, tmp_path):
+    """stop() must join the worker until it actually exits (decodes/cold
+    compiles can exceed any fixed timeout): a stop sentinel reaching the
+    render queue BEFORE the worker's final batch would let the renderer
+    exit early and strand that batch's futures forever."""
+    import time
+
+    proxy = _GatedV2M(tiny_v2m)
+    # block the worker's NEXT render hand-off: render_q holds batch 1,
+    # renderer blocks on the gate -> the worker's put for batch 2 blocks
+    batcher = DynamicBatcher(proxy, max_batch=1, max_wait_ms=10,
+                             output_dir=str(tmp_path))
+    try:
+        f1 = batcher.submit(dict(features=_feats(8, 0), primer="C"))
+        f2 = batcher.submit(dict(features=_feats(8, 1), primer="C"))
+        deadline = time.monotonic() + 300
+        while proxy.decodes < 2 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        stopper = threading.Thread(target=batcher.stop)
+        stopper.start()
+        time.sleep(0.3)
+        # worker is still handing off batch 2; stop() must still be waiting
+        assert stopper.is_alive()
+        proxy.gate.set()
+        stopper.join(timeout=300)
+        assert not stopper.is_alive()
+        (r1, _), (r2, _) = f1.result(timeout=10), f2.result(timeout=10)
+        assert len(r1.chords) == 8 and len(r2.chords) == 8
+    finally:
+        proxy.gate.set()
+
+
+def test_generate_batch_empty_defer_render_returns_closure(tiny_v2m):
+    """generate_batch([], defer_render=True) must honour the contract and
+    return a zero-arg closure (callers invoke it unconditionally)."""
+    render = tiny_v2m.generate_batch([], defer_render=True)
+    assert callable(render) and render() == []
+    assert tiny_v2m.generate_batch([]) == []

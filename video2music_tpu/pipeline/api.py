@@ -759,7 +759,9 @@ class Video2music:
           render closure when ``defer_render``.
         """
         if not requests:
-            return []
+            # honour the defer_render contract even for empty input: the
+            # caller expects a zero-arg closure, not a list
+            return (lambda: []) if defer_render else []
         if n_real is None:
             n_real = len(requests)
         L = MAX_SECONDS

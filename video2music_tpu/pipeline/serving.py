@@ -216,12 +216,30 @@ class DynamicBatcher:
             self._q.put_nowait((-float("inf"), -1 - next(self._seq), None))
         except queue.Full:
             pass  # queue non-empty -> the worker isn't blocked on get()
-        self._worker.join(timeout=5)
+        # The worker may be mid-decode (cold compiles alone exceed any
+        # fixed timeout) — join until it actually exits, so its final
+        # batch cannot land in _render_q AFTER the render stop sentinel
+        # below (which would strand that batch's futures forever).
+        while self._worker.is_alive():
+            self._worker.join(timeout=5)
         try:  # flush pending renders, then exit
             self._render_q.put(None, timeout=30)
         except queue.Full:
             pass  # renderer wedged; it's a daemon thread
         self._renderer.join(timeout=30)
+        # A dead/wedged renderer leaves queued batches unconsumed — fail
+        # their futures instead of hanging callers forever.
+        while True:
+            try:
+                task = self._render_q.get_nowait()
+            except queue.Empty:
+                break
+            if task is not None:
+                exc = RuntimeError("batcher stopped before render")
+                for it in task[0]:
+                    if not it.future.done():
+                        it.future.set_exception(exc)
+            self._render_q.task_done()
 
     # ------------------------------------------------------------------
     def _take(self, timeout=None):
@@ -277,8 +295,16 @@ class DynamicBatcher:
         # drain in-flight renders first: controls promise "between
         # batches" semantics, so every dispatched batch fully resolves
         # before the mutation runs (renders never read model state, but a
-        # control fn may do more than hot-reload)
-        self._render_q.join()
+        # control fn may do more than hot-reload). A plain
+        # _render_q.join() would block this worker thread FOREVER if the
+        # render thread died (or consumed its stop sentinel) with a task
+        # unfinished, so poll with a liveness check instead.
+        while self._render_q.unfinished_tasks:
+            if not self._renderer.is_alive():
+                item.future.set_exception(RuntimeError(
+                    "render thread dead with renders outstanding"))
+                return
+            time.sleep(0.005)
         try:
             item.future.set_result(item.fn(self.v2m))
         except Exception as exc:  # noqa: BLE001 — surface to the caller
@@ -370,12 +396,17 @@ class DynamicBatcher:
                 items, bucket, render = task
                 try:
                     results = render()
+                    for it, res in zip(items, results):
+                        # a caller may have cancelled its future (e.g.
+                        # after a result timeout): these futures are
+                        # never set_running, so cancel() succeeds and an
+                        # unguarded set_result would raise
+                        # InvalidStateError and kill this thread
+                        if not it.future.done():
+                            it.future.set_result((res, bucket))
                 except Exception as exc:  # noqa: BLE001 — fail the batch,
-                    for it in items:      # keep rendering later ones
+                    for it in items:      # keep the render thread alive
                         if not it.future.done():
                             it.future.set_exception(exc)
-                    continue
-                for it, res in zip(items, results):
-                    it.future.set_result((res, bucket))
             finally:
                 self._render_q.task_done()
