@@ -20,9 +20,13 @@ batched serving fetches once per batch anyway). The baseline keeps its
 per-token host round-trips because they are part of the reference
 algorithm being measured (json lookups + .item() per token).
 
-Prints THREE JSON lines (the decode headline stays LAST for the driver's
+Prints FOUR JSON lines (the decode headline stays LAST for the driver's
 tail parser):
   {"metric": "amt_train_step_b16", "value": <ms>, "unit": "ms/step", ...}
+  {"metric": "amt_train_convergence", "value": <loss drop % over 60
+   fixed-seed steps overfitting one batch>, ...}   — the learning guard:
+   a train-step correctness regression (dead gradient path, flipped loss
+   term) collapses this number even when ms/step looks healthy
   {"metric": "amt_decode_300_b32", "value": <aggregate tokens/s at B=32>,
    "unit": "tokens/s", ...}   — the batched-serving path (what the
    DynamicBatcher dispatches; generate_chords auto-routes every batch
@@ -281,6 +285,23 @@ def bench_train(B=16, repeats=3, n_lo=5, n_hi=30):
         return time.perf_counter() - t0, state
 
     step, state = setup(mixed=True)
+
+    # Convergence guard: perf numbers alone would not notice a train step
+    # that stopped LEARNING (a sign flip in a loss term, a dead gradient
+    # path). Overfit the fixed synthetic batch for n_conv steps from the
+    # fresh init and report the loss drop — fixed seeds end-to-end, so a
+    # regression shows up as a drop-percentage collapse in BENCH_r*.
+    # Losses stay on-device (lazy scalars) and fetch ONCE at the end.
+    n_conv = 60
+    losses = []
+    for _ in range(n_conv):
+        state, m = step(state, batch)
+        losses.append(m["loss"])
+    losses = np.asarray(jnp.stack(losses), np.float64)
+    first = float(losses[:5].mean())
+    last = float(losses[-5:].mean())
+    conv_drop_pct = 100.0 * (first - last) / max(first, 1e-9)
+
     slopes = []
     for _ in range(repeats):
         t_lo, state = timed(step, state, n_lo)
@@ -291,7 +312,7 @@ def bench_train(B=16, repeats=3, n_lo=5, n_hi=30):
     t_lo, state_f32 = timed(step_f32, state_f32, n_lo)
     t_hi, state_f32 = timed(step_f32, state_f32, n_hi)
     base = (t_hi - t_lo) / (n_hi - n_lo)
-    return slopes, base
+    return slopes, base, conv_drop_pct, (first, last)
 
 
 def bench_reference_style(model, variables, feats, buckets=(75, 150, 225, 300)):
@@ -350,7 +371,7 @@ def main():
     base = bench_reference_style(model, variables, feats)
 
     if os.environ.get("V2M_BENCH_TRAIN", "1") != "0":
-        train_slopes, train_base = bench_train()
+        train_slopes, train_base, conv_drop, (l0, l1) = bench_train()
         t_med, t_spread = _median_spread(train_slopes)
         print(json.dumps({
             "metric": "amt_train_step_b16",
@@ -359,6 +380,14 @@ def main():
             "vs_baseline": round(train_base / t_med, 2),
             "baseline": "same step, f32 undonated (reference numerics)",
             "spread_pct": round(t_spread, 1),
+        }), flush=True)
+        print(json.dumps({
+            "metric": "amt_train_convergence",
+            "value": round(conv_drop, 2),
+            "unit": "% loss drop over 60 fixed-seed steps",
+            "vs_baseline": round(l0 / max(l1, 1e-9), 3),
+            "baseline": f"loss {l0:.4f} -> {l1:.4f} overfitting one "
+                        "fixed B=16 batch from init",
         }), flush=True)
 
     if os.environ.get("V2M_BENCH_BATCH", "1") != "0":

@@ -452,3 +452,224 @@ int32_t v2m_parse_instrument_csv(const char* path, float* out,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native per-clip MIDI render.
+//
+// Byte-identical replacement for the render hot loop of
+// pipeline/api._postprocess: midi/arpeggio.add_chord note emission (the
+// reference's addChord if-chains, video2music.py:476-585) into
+// midi/writer.MIDIFile event lists, the stable (tick, order) sort, the
+// variable-length-quantity delta encoding and the SMF assembly — for the
+// main chord file AND every per-instrument stem in one call. Profiled at
+// ~51 ms/clip in pure Python on the 1-core serving host (46% VLQ+sort,
+// 45% the add_chord/addNote loop); the same work here is <2 ms.
+//
+// Numerics matched to Python exactly:
+//   * tick = int(round(beats * 960)) -> llrint (round-half-even, the
+//     default FE_TONEAREST mode, == Python float round);
+//   * velocity = int(velocity * factor) -> (int) cast (both truncate
+//     toward zero);
+//   * stable sort keeps insertion order for (tick, order) ties, like
+//     Python's sorted().
+// Policy (pan values, arpeggio instrument sets, velocity factors, emotion
+// gates) stays in Python and arrives as per-instrument arrays.
+
+#include <vector>
+#include <algorithm>
+#include <cmath>
+
+namespace {
+
+struct MidiEv {
+  int64_t tick;
+  uint8_t order, len, b[6];
+};
+
+const double RF1 = 1.1, RF2 = 0.95, RF3 = 0.98, RF4 = 1.0, RF5 = 0.95;
+const double RDIM = 0.6;
+
+struct PatNote { int idx; double dt; double f; };
+// density -> even/odd arpeggio patterns + fifth-note beat offset
+// (midi/arpeggio._PATTERNS; reference video2music.py:476-585)
+const PatNote PAT_EVEN[5][8] = {
+  {{0, 0.0, RF1}, {1, 1.0, RF2}},
+  {{0, 0.0, RF1}, {1, 0.5, RF2}, {2, 1.0, RF3}},
+  {{0, 0.0, RF1}, {1, 0.5, RF2}, {2, 1.0, RF3}, {3, 1.5, RF4}},
+  {{0, 0.0, RF1}, {1, 0.25, RF2}, {2, 0.5, RF3}, {1, 0.75, RF2},
+   {3, 1.0, RF4}, {2, 1.5, RF3}},
+  {{0, 0.0, RF1}, {1, 0.25, RF2}, {2, 0.5, RF3}, {1, 0.75, RF2},
+   {3, 1.0, RF4}, {2, 1.25, RF3}, {1, 1.5, RF2}, {2, 1.75, RF3}},
+};
+const PatNote PAT_ODD[5][8] = {
+  {{2, 0.0, RF3}, {3, 1.0, RF4}},
+  {{3, 0.0, RF4}, {1, 0.5, RF2}, {2, 1.0, RF3}},
+  {{2, 0.0, RF3}, {1, 0.5, RF2}, {2, 1.0, RF3}, {3, 1.5, RF4}},
+  {{1, 0.0, RF2}, {0, 0.25, RF1}, {1, 0.5, RF2}, {2, 0.75, RF3},
+   {3, 1.0, RF4}, {2, 1.5, RF3}},
+  {{1, 0.0, RF2}, {0, 0.25, RF1}, {1, 0.5, RF2}, {2, 0.75, RF3},
+   {3, 1.0, RF4}, {2, 1.25, RF3}, {1, 1.5, RF2}, {2, 1.75, RF3}},
+};
+const int PAT_LEN[5] = {2, 3, 4, 6, 8};
+const double PAT_FIFTH_T[5] = {2.0, 1.5, 2.0, 2.0, 2.0};
+
+inline int64_t beat_tick(double beats) {
+  return (int64_t)llrint(beats * 960.0);
+}
+
+inline void add_note(std::vector<MidiEv>& ev, int pitch, double time,
+                     double dur, double vel) {
+  if (pitch < 0) pitch = 0; else if (pitch > 127) pitch = 127;
+  int v = (int)vel;  // trunc toward zero, == Python int()
+  if (v < 0) v = 0; else if (v > 127) v = 127;
+  int64_t t0 = beat_tick(time);
+  int64_t t1 = beat_tick(time + dur);
+  if (t1 <= t0) t1 = t0 + 1;
+  ev.push_back({t0, 3, 3, {(uint8_t)0x90, (uint8_t)pitch, (uint8_t)v}});
+  ev.push_back({t1, 2, 3, {(uint8_t)0x80, (uint8_t)pitch, 0}});
+}
+
+// midi/arpeggio.add_chord with the live-path trans_val quirk applied by
+// the CALLER (trans arrives pre-zeroed from Python)
+inline void add_chord_notes(std::vector<MidiEv>& ev, const int32_t* chord,
+                            int eff_len, int offset, int density, int trans,
+                            double time, double dur, double vel, bool arp) {
+  if (eff_len < 4) return;
+  if (arp) {
+    const PatNote* pat = (offset % 2 == 0) ? PAT_EVEN[density]
+                                           : PAT_ODD[density];
+    for (int j = 0; j < PAT_LEN[density]; ++j)
+      add_note(ev, chord[pat[j].idx] + trans, time + pat[j].dt, dur,
+               vel * pat[j].f);
+    if (eff_len == 5)
+      add_note(ev, chord[4] + trans, time + PAT_FIFTH_T[density], dur,
+               vel * RF5);
+  } else {
+    const double fs[4] = {RF1, RF2, RF3, RF4};
+    for (int j = 0; j < 4; ++j)
+      add_note(ev, chord[j] + trans, time, dur, vel * fs[j] * RDIM);
+    if (eff_len == 5)
+      add_note(ev, chord[4] + trans, time, dur, vel * RF5 * RDIM);
+  }
+}
+
+inline void push_vlq(std::vector<uint8_t>& out, int64_t value) {
+  if (value < 0) value = 0;
+  if (value < 128) { out.push_back((uint8_t)value); return; }
+  uint8_t tmp[10];
+  int n = 0;
+  tmp[n++] = value & 0x7F;
+  value >>= 7;
+  while (value) { tmp[n++] = 0x80 | (value & 0x7F); value >>= 7; }
+  while (n) out.push_back(tmp[--n]);
+}
+
+// one single-track SMF (writer.MIDIFile.writeFile, fmt 0, 960 TPQN)
+void write_smf(std::vector<MidiEv>& ev, std::vector<uint8_t>& out) {
+  std::stable_sort(ev.begin(), ev.end(),
+                   [](const MidiEv& a, const MidiEv& b) {
+                     return a.tick != b.tick ? a.tick < b.tick
+                                             : a.order < b.order;
+                   });
+  std::vector<uint8_t> track;
+  track.reserve(ev.size() * 5 + 8);
+  int64_t last = 0;
+  for (const MidiEv& e : ev) {
+    push_vlq(track, e.tick - last);
+    for (int j = 0; j < e.len; ++j) track.push_back(e.b[j]);
+    last = e.tick;
+  }
+  track.push_back(0); track.push_back(0xFF); track.push_back(0x2F);
+  track.push_back(0x00);
+  const uint8_t hdr[14] = {'M', 'T', 'h', 'd', 0, 0, 0, 6, 0, 0, 0, 1,
+                           (uint8_t)(960 >> 8), (uint8_t)(960 & 0xFF)};
+  out.insert(out.end(), hdr, hdr + 14);
+  uint32_t tl = (uint32_t)track.size();
+  const uint8_t th[8] = {'M', 'T', 'r', 'k', (uint8_t)(tl >> 24),
+                         (uint8_t)(tl >> 16), (uint8_t)(tl >> 8),
+                         (uint8_t)tl};
+  out.insert(out.end(), th, th + 8);
+  out.insert(out.end(), track.begin(), track.end());
+}
+
+inline void add_tempo(std::vector<MidiEv>& ev, double tempo_bpm) {
+  // FF 51 03 + 3-byte usec/quarter (writer.addTempo)
+  int64_t usec = (int64_t)llrint(60000000.0 /
+                                 (tempo_bpm > 1e-6 ? tempo_bpm : 1e-6));
+  ev.push_back({0, 0, 6, {0xFF, 0x51, 0x03, (uint8_t)((usec >> 16) & 0xFF),
+                          (uint8_t)((usec >> 8) & 0xFF),
+                          (uint8_t)(usec & 0xFF)}});
+}
+
+}  // namespace
+
+extern "C" {
+
+// Render one clip: the main chord SMF plus one stem per selected
+// instrument. Outputs concatenate into out[cap]; sizes[0] = main bytes,
+// sizes[1 + inst] = that stem's bytes (0 when the instrument never
+// fires). Returns total bytes written, or -1 when cap is too small.
+int64_t v2m_render_clip(
+    const int32_t* chords,      // (n_sec, 5) voiced MIDI notes
+    const int32_t* eff_len,     // (n_sec,) 0=skip, 4, or 5 (Python len map)
+    const int32_t* offsets,     // (n_sec,) run offsets
+    const int32_t* densities,   // (n_sec,) 0-4
+    const int32_t* velocities,  // (n_sec,) base velocity ints
+    const uint8_t* arp_emo,     // (n_sec,) emotion forces arpeggio on stems
+    const uint8_t* inst_bin,    // (n_sec, n_inst) selection mask
+    int32_t n_sec, int32_t n_inst, int32_t trans,
+    const uint8_t* arp_inst,    // (n_inst,) always-arpeggio instruments
+    const double* vel_factor,   // (n_inst,) stem velocity scale
+    const int32_t* pan_ctrl,    // (n_inst,) controller number at creation
+    const int32_t* pan_param,   // (n_inst,) controller parameter
+    double chord_dur, double tempo,
+    uint8_t* out, int64_t cap, int64_t* sizes) {
+  std::vector<MidiEv> main_ev;
+  main_ev.reserve(n_sec * 18 + 2);
+  add_tempo(main_ev, tempo);
+  std::vector<std::vector<MidiEv>> stems(n_inst);
+
+  for (int32_t i = 0; i < n_sec; ++i) {
+    const int32_t* ch = chords + (int64_t)i * 5;
+    double t = i * chord_dur;
+    add_chord_notes(main_ev, ch, eff_len[i], offsets[i], densities[i],
+                    trans, t, chord_dur, (double)velocities[i], true);
+    const uint8_t* row = inst_bin + (int64_t)i * n_inst;
+    for (int32_t inst = 0; inst < n_inst; ++inst) {
+      if (!row[inst]) continue;
+      std::vector<MidiEv>& ev = stems[inst];
+      if (ev.empty()) {
+        add_tempo(ev, tempo);
+        int c = pan_ctrl[inst], p = pan_param[inst];
+        if (c < 0) c = 0; else if (c > 127) c = 127;
+        if (p < 0) p = 0; else if (p > 127) p = 127;
+        ev.push_back({0, 1, 3, {0xB0, (uint8_t)c, (uint8_t)p}});
+      }
+      bool arp = arp_inst[inst] || arp_emo[i];
+      add_chord_notes(ev, ch, eff_len[i], offsets[i], densities[i], trans,
+                      t, chord_dur, (double)velocities[i] * vel_factor[inst],
+                      arp);
+    }
+  }
+
+  std::vector<uint8_t> buf;
+  buf.reserve(main_ev.size() * 5 + 64);
+  write_smf(main_ev, buf);
+  sizes[0] = (int64_t)buf.size();
+  int64_t total = (int64_t)buf.size();
+  if (total > cap) return -1;
+  std::memcpy(out, buf.data(), buf.size());
+  for (int32_t inst = 0; inst < n_inst; ++inst) {
+    if (stems[inst].empty()) { sizes[1 + inst] = 0; continue; }
+    std::vector<uint8_t> sb;
+    sb.reserve(stems[inst].size() * 5 + 64);
+    write_smf(stems[inst], sb);
+    sizes[1 + inst] = (int64_t)sb.size();
+    if (total + (int64_t)sb.size() > cap) return -1;
+    std::memcpy(out + total, sb.data(), sb.size());
+    total += (int64_t)sb.size();
+  }
+  return total;
+}
+
+}  // extern "C"

