@@ -504,3 +504,121 @@ def test_segmented_cache_generate_matches_unsegmented(rng):
             np.testing.assert_array_equal(
                 np.asarray(seg[k]), np.asarray(flat[k]),
                 err_msg=f"version={version} B={B} fused={fused} {k}")
+
+
+def test_quantize_kv_rows_roundtrip(rng):
+    """Per-row int8 KV quantization: dequantized rows within half a
+    quantization step of the source (scale = max|row|/127), all-zero rows
+    exact, scale shape (..., 1)."""
+    from video2music_tpu.ops.pallas_decode_batch import quantize_kv_rows
+
+    x = rng.standard_normal((2, 9, 16)).astype(np.float32)
+    x[1, 3] = 0.0  # all-zero row: scale must not divide by zero
+    q, s = quantize_kv_rows(jnp.asarray(x))
+    assert q.dtype == jnp.int8 and s.shape == (2, 9, 1)
+    deq = np.asarray(q, np.float32) * np.asarray(s)
+    step = np.abs(x).max(-1, keepdims=True) / 127.0
+    assert np.all(np.abs(deq - x) <= step / 2 + 1e-7)
+    assert np.all(deq[1, 3] == 0.0)
+
+
+def test_kv_quant_batch_step_logits_close(rng):
+    """Int8-KV batched fused step (kv_quant="int8": int8 self+cross cache
+    slabs, per-row scales folded in-kernel, quantized appends) vs the
+    unquantized flax decode_step: logits must track within quantization
+    error at every position — asserts relative L2 error < 3% and that the
+    int8 caches/scale leaves round-trip through the appends (later
+    positions read earlier quantized rows). Covers ends=False (XLA glue)
+    and ends=True (embed/router/head folded)."""
+    from video2music_tpu.decode.fused import (init_fused_batch_caches,
+                                              make_fused_batch_step)
+
+    model, cfg = _tiny("2.2")
+    B = 4
+    feats = _feats(rng, B=B)
+    variables = _init(model, feats)
+
+    memory, _ = model.apply(variables, feats["semantic"],
+                            feats["scene_offset"], feats["motion"],
+                            feats["emotion"], method=model.encode,
+                            mutable=["metrics", "moe_state"])
+    _, primed = model.apply(variables, memory, method=model.prime,
+                            mutable=["cache"])
+
+    for ends in (False, True):
+        step_logits = make_fused_batch_step(variables["params"], cfg,
+                                            block_b=2, interpret=True,
+                                            ends=ends, kv_quant="int8")
+        caches = init_fused_batch_caches(variables["params"], cfg, B,
+                                         primed["cache"], kv_quant="int8")
+        assert caches["k0"].dtype == jnp.int8
+        assert caches["ck0"].dtype == jnp.int8
+        assert caches["ksc0"].shape == (B, cfg.max_seq_chord, 1)
+
+        tokens = rng.integers(0, C.CHORD_END, (8, B))
+        roots = rng.integers(0, 13, (8, B))
+        attrs = rng.integers(0, 14, (8, B))
+        key = feats["key"]
+
+        flax_cache = primed["cache"]
+        for pos in range(8):
+            t = jnp.asarray(tokens[pos][:, None], jnp.int32)
+            r = jnp.asarray(roots[pos][:, None], jnp.int32)
+            a = jnp.asarray(attrs[pos][:, None], jnp.int32)
+            want, mutated = model.apply(
+                {**variables, "cache": flax_cache}, t, r, a, key,
+                jnp.asarray(pos, jnp.int32), method=model.decode_step,
+                mutable=["cache", "metrics", "moe_state"])
+            flax_cache = mutated["cache"]
+            got, caches = step_logits(caches, t, r, a, key,
+                                      jnp.asarray(pos, jnp.int32))
+            assert caches["k0"].dtype == jnp.int8  # appends stay int8
+            w = np.asarray(want, np.float32)
+            g = np.asarray(got, np.float32)
+            rel = np.linalg.norm(g - w) / np.linalg.norm(w)
+            assert rel < 0.03, f"ends={ends} pos={pos} rel={rel:.4f}"
+
+
+def test_kv_quant_segmented_generate_bit_exact(rng):
+    """kv_quant="int8" + cache segmentation: sliced int8 cache windows and
+    their scale-column leaves must reproduce the unsegmented int8 decode
+    BIT-exactly (same quantized math, masked rows contribute exact zeros)
+    — the int8 analogue of test_segmented_cache_generate_matches_unsegmented."""
+    S = 48
+    cfg = amt_config("2.2", n_layers=4, num_heads=2, d_model=16,
+                     d_ff=32, max_seq_video=12, max_seq_chord=S,
+                     total_vf_dim=7 + 1 + 1 + 2, dropout=0.0)
+    model = VideoMusicTransformer(cfg=cfg)
+    B = 2
+    feats = _feats(rng, B=B)
+    variables = _init(model, feats, L=S)
+    primer = jnp.zeros((B, 4), jnp.int32).at[:, 0].set(1)
+    kw = dict(semantic=feats["semantic"], key=feats["key"],
+              scene_offset=feats["scene_offset"], motion=feats["motion"],
+              emotion=feats["emotion"], primer=primer,
+              primer_root=primer, primer_attr=primer,
+              num_primer=jnp.asarray([2, 3]),
+              rng=jax.random.PRNGKey(7), fused="ends", interpret=True,
+              kv_quant="int8")
+    flat = generate_chords(
+        model, variables,
+        gcfg=GenerateConfig(target_seq_length=S, cache_segments=1), **kw)
+    seg = generate_chords(
+        model, variables,
+        gcfg=GenerateConfig(target_seq_length=S, cache_segments=3), **kw)
+    for k in ("gen_seq", "gen_seq_root", "gen_seq_attr"):
+        np.testing.assert_array_equal(np.asarray(seg[k]), np.asarray(flat[k]),
+                                      err_msg=k)
+
+
+def test_kv_quant_guards():
+    """kv_quant validation: bad value and the quantize+kv_quant combination
+    both raise before any compute."""
+    model, cfg = _tiny("2.2")
+    dummy = dict(semantic=None, key=None, scene_offset=None, motion=None,
+                 emotion=None, primer=None, primer_root=None,
+                 primer_attr=None, num_primer=1, rng=None)
+    with pytest.raises(ValueError, match="kv_quant"):
+        generate_chords(model, {}, kv_quant="int4", **dummy)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        generate_chords(model, {}, kv_quant="int8", quantize="int8", **dummy)

@@ -128,8 +128,7 @@ def main():
           f"({mxu_floor_ms / ms * 100:.0f}% of measured)")
     print("\nanalytic save-tensor table (fwd write + bwd read, bf16):")
     for name, count, mbytes in rows:
-        print(f"  {name:
-<48} x{count:<3} {mbytes:>9.1f} MB")
+        print(f"  {name:<48} x{count:<3} {mbytes:>9.1f} MB")
     print(f"  analytic activation total: {analytic_total / 1024:.2f} GB "
           "(excl. weights/optimizer/grads ~0.5 GB)")
     print(json.dumps({

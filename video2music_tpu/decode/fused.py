@@ -415,12 +415,25 @@ def topk_combine(logits, k_top: int):
 
 
 def init_fused_batch_caches(params: Dict[str, Any], cfg, B: int,
-                            cross_cache: Dict[str, Any]) -> Dict[str, Any]:
+                            cross_cache: Dict[str, Any],
+                            kv_quant: str = None) -> Dict[str, Any]:
     """Batched analogue of :func:`init_fused_caches`: (B, S, D) zero self
-    caches + primed cross K/V in the lane-concatenated head layout."""
+    caches + primed cross K/V in the lane-concatenated head layout.
+
+    kv_quant="int8": every cache is int8 with per-row f32 scale leaves —
+    self scales "ksc{i}"/"vsc{i}" (B, S, 1) start at zero (masked rows
+    contribute exact zeros either way) and the primed cross K/V are
+    quantized here once (``quantize_kv_rows``), scales "cksc{i}"/
+    "cvsc{i}". Halves resident KV-cache HBM; a capacity feature, not a
+    speed one (see make_fused_batch_step + BACKLOG "int8 KV caches")."""
+    from ..ops.pallas_decode_batch import quantize_kv_rows
+
     D = cfg.d_model
     S = cfg.max_seq_chord
     dtype = params["Wout"]["kernel"].dtype
+    quant = kv_quant == "int8"
+    if quant:
+        dtype = jnp.int8
     # (B, H, Sm, hd) -> (B, Sm, H*hd)
     to_lanes = lambda a: a.transpose(0, 2, 1, 3).reshape(
         a.shape[0], a.shape[2], D)
@@ -429,22 +442,36 @@ def init_fused_batch_caches(params: Dict[str, Any], cfg, B: int,
         caches[f"k{i}"] = jnp.zeros((B, S, D), dtype)
         caches[f"v{i}"] = jnp.zeros((B, S, D), dtype)
         cc = cross_cache[f"dec_{i}"]["cross_attn"]
-        caches[f"ck{i}"] = to_lanes(cc["k"])
-        caches[f"cv{i}"] = to_lanes(cc["v"])
+        ck, cv = to_lanes(cc["k"]), to_lanes(cc["v"])
+        if quant:
+            caches[f"ksc{i}"] = jnp.zeros((B, S, 1), jnp.float32)
+            caches[f"vsc{i}"] = jnp.zeros((B, S, 1), jnp.float32)
+            ck, caches[f"cksc{i}"] = quantize_kv_rows(ck)
+            cv, caches[f"cvsc{i}"] = quantize_kv_rows(cv)
+        caches[f"ck{i}"] = ck
+        caches[f"cv{i}"] = cv
     return caches
 
 
 def make_fused_batch_step(params: Dict[str, Any], cfg, *,
                           block_b: int = None, interpret: bool = False,
-                          ends: bool = False):
+                          ends: bool = False, kv_quant: str = None,
+                          wide: bool = False):
     """Batched (B>1) fused step: step_logits(caches, token, token_root,
     token_attr, key, pos) -> (logits (B, CHORD_SIZE), new_caches).
 
     Each layer runs as the B-blocked attention kernel
     (ops/pallas_decode_batch.batched_layer_step) + for MoE layers the
-    weight-stationary expert kernel. int8 is not wired on this path (the
-    batched step is cache/weight-traffic bound with weights read once per
-    step; use the B=1 fused path or XLA fake-quant for int8).
+    weight-stationary expert kernel. int8 WEIGHTS are not wired on this
+    path (the batched step reads weights once per step, amortized over B;
+    use the B=1 fused path or XLA fake-quant for that). kv_quant="int8"
+    quantizes the CACHES instead — self and cross K/V slabs are int8 with
+    per-row f32 scales (caches from ``init_fused_batch_caches(...,
+    kv_quant="int8")``), halving resident KV-cache HBM. A capacity
+    feature, not a speed one: measured ~5% slower than bf16 caches at
+    B=32 full size (the segmented step is per-row-compute bound, see
+    BACKLOG "int8 KV caches"). Numerics are quantized (~1e-2 relative
+    on logits, tested); the f32/bf16-cache path stays the default.
 
     ``ends=False`` keeps the step's glue in XLA: chord embedding, per-deep-
     layer gate matmul + :func:`topk_combine`, final LayerNorm + chord
@@ -495,13 +522,18 @@ def make_fused_batch_step(params: Dict[str, Any], cfg, *,
         new = dict(caches)
         for i, layer in enumerate(packed):
             fold_embed = embed_first and i == 0
-            y, k_row, v_row = batched_layer_step(
+            kv_scales = ((caches[f"ksc{i}"], caches[f"vsc{i}"],
+                          caches[f"cksc{i}"], caches[f"cvsc{i}"])
+                         if kv_quant == "int8" else None)
+            outs = batched_layer_step(
                 x, pos, layer, caches[f"k{i}"], caches[f"v{i}"],
                 caches[f"ck{i}"], caches[f"cv{i}"],
                 n_heads=H, rope=rope, block_b=block_b, interpret=interpret,
                 tokens=((token_root, token_attr, key) if fold_embed
                         else None),
-                embed_pack=embed_pack if fold_embed else None)
+                embed_pack=embed_pack if fold_embed else None,
+                kv_scales=kv_scales, wide=wide)
+            y, k_row, v_row = outs[:3]
             if "gate_w" in layer:  # deep: y is post-norm2 x2
                 fold_head = head_last and i == L - 1
                 if ends:
@@ -528,6 +560,12 @@ def make_fused_batch_step(params: Dict[str, Any], cfg, *,
             new[f"v{i}"] = jax.lax.dynamic_update_slice(
                 caches[f"v{i}"], v_row[:, None, :].astype(
                     caches[f"v{i}"].dtype), (0, p, 0))
+            if kv_scales is not None:
+                ks_row, vs_row = outs[3], outs[4]
+                new[f"ksc{i}"] = jax.lax.dynamic_update_slice(
+                    caches[f"ksc{i}"], ks_row[:, None, :], (0, p, 0))
+                new[f"vsc{i}"] = jax.lax.dynamic_update_slice(
+                    caches[f"vsc{i}"], vs_row[:, None, :], (0, p, 0))
         if head_last:
             return x, new  # the last MoE kernel already emitted logits
         x = _layer_norm(x, dnorm)

@@ -60,9 +60,10 @@ class GenerateConfig:
 
 # Fused/flax self-attention cache leaves are sliced by their dict key:
 # "k0"/"v3" (per-layer), "sk0"/"sv1" (stacked segments), bare "k"/"v"
-# (monolith). Cross caches ("ck0", flax "cross_attn/…") must keep their
-# full memory length and never match.
-_SELF_CACHE_KEY = re.compile(r"s?[kv]\d*")
+# (monolith), "ksc0"/"vsc2" (int8-KV per-row scale columns, kv_quant).
+# Cross caches ("ck0"/"cksc0", flax "cross_attn/…") must keep their full
+# memory length and never match.
+_SELF_CACHE_KEY = re.compile(r"s?[kv](sc)?\d*")
 
 
 def _path_keys(path) -> list:
@@ -156,7 +157,8 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
                     emotion, primer, primer_root, primer_attr, num_primer,
                     rng, gcfg: GenerateConfig = GenerateConfig(),
                     temperature=None, fused: str = "auto",
-                    interpret: bool = False, quantize: str = None):
+                    interpret: bool = False, quantize: str = None,
+                    kv_quant: str = None):
     """Generate a (B, target_seq_length) chord-id sequence.
 
     Args:
@@ -199,10 +201,31 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
         bounds the decode step); on the unfused path the same quantization
         is applied as fake-quant params so numerics track the fused path.
         Encoder, priming, embeddings and heads stay full precision.
+      kv_quant: None or "int8" — int8 KV CACHES on the batched (B>1)
+        fused path: self and cross K/V slabs are stored int8 with
+        per-row f32 scales folded inside the kernels
+        (ops/pallas_decode_batch.quantize_kv_rows), halving KV-cache HBM
+        CAPACITY (the per-batch-element resident cache) for
+        memory-bound serving. NOT a speed feature: measured ~5% slower
+        than bf16 caches at B=32 (7.76 vs 7.39 ms/clip full-size) — with
+        4-way cache segmentation the batched step is bound by per-ROW
+        kernel compute, which int8 doesn't cut and the in-kernel
+        scale folds slightly add to (BACKLOG "int8 KV caches").
+        Quantized numerics (~1e-2 relative logits error, tested);
+        bit-exact across cache_segments settings. Ignored where no
+        batched fused kernel runs (B=1 — kernel-latency bound — or XLA
+        fallbacks). Mutually exclusive with ``quantize``.
     Returns:
       dict with gen_seq / gen_seq_root / gen_seq_attr, each
       (B, target_seq_length) int32.
     """
+    if kv_quant not in (None, "int8"):
+        raise ValueError(f"kv_quant must be None or 'int8', got {kv_quant!r}")
+    if kv_quant is not None and quantize is not None:
+        raise ValueError(
+            "kv_quant and quantize are mutually exclusive (int8 weights "
+            "are a B=1 feature, int8 KV caches a B>1 feature — see the "
+            "docstring)")
     if getattr(model.cfg, "separated", False):
         raise NotImplementedError(
             "generate_chords needs the 159-way chord head; separated "
@@ -362,9 +385,10 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
         from .fused import init_fused_batch_caches, make_fused_batch_step
         step_logits = make_fused_batch_step(variables["params"], model.cfg,
                                             interpret=interpret,
-                                            ends=fused in ("auto", "ends"))
+                                            ends=fused in ("auto", "ends"),
+                                            kv_quant=kv_quant)
         cache = init_fused_batch_caches(variables["params"], model.cfg, B,
-                                        cache)
+                                        cache, kv_quant=kv_quant)
     else:
         if quantize == "int8":
             if not fused_decode_eligible(model.cfg):

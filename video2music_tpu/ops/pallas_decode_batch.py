@@ -73,6 +73,30 @@ from .pallas_decode import (LN_EPS, NEG_INF, _head_map, _layer_norm,
 FUSED_BATCH_MAX_B = 16
 
 
+def quantize_kv_rows(x):
+    """Per-row symmetric int8 quantization for KV-cache entries:
+    (..., D) -> ((..., D) int8, (..., 1) f32 scales). Same convention as
+    the weight quantizer (ops/pallas_decode._quantize: s = max|x|/127,
+    q = round(x/s)) but per ROW (one cache position across all heads) so
+    the scale folds into the per-row logits/probs columns inside the
+    kernel. All-zero rows get scale 1 (q = 0). The in-kernel quantizer
+    (_quant_rows) mirrors this bit-for-bit for appended rows."""
+    xf = x.astype(jnp.float32)
+    s = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    s = jnp.where(s == 0.0, 1.0, s)
+    return jnp.round(xf / s).astype(jnp.int8), s
+
+
+def _quant_rows(x):
+    """In-kernel mirror of :func:`quantize_kv_rows` on (Bb, D) f32 rows —
+    returns integer-VALUED f32 (Mosaic int8 stores don't tile at
+    (block_b, D); the caller casts to int8 when appending; +/-127 is exact
+    in bf16 so the spliced slab stays compute dtype)."""
+    s = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0
+    s = jnp.where(s == 0.0, 1.0, s)
+    return jnp.round(x / s), s
+
+
 def _row_map(n_rows: int, seg: int, n_seg: int):
     """(n_rows, n_seg) f32 one-hot map row r -> segment r // seg. Per-group
     sums/broadcasts over the sublane-stacked batch segments become tiny
@@ -82,10 +106,20 @@ def _row_map(n_rows: int, seg: int, n_seg: int):
     return (row_seg == seg_id).astype(jnp.float32)
 
 
-def _segmented_attention(q, k_slab, v_slab, n_heads, seg, *, pos=None):
+def _segmented_attention(q, k_slab, v_slab, n_heads, seg, *, pos=None,
+                         k_scale=None, v_scale=None):
     """q: (Bb, D) f32 (roped); k/v slabs (Bb*seg, D) — Bb batch elements'
     caches stacked along sublanes. Masked (row-in-segment <= pos) when pos
     is given. Returns (Bb, D) f32.
+
+    ``k_scale``/``v_scale``: optional (Bb*seg, 1) f32 per-row dequant
+    scales for int8 KV caches (kv_quant="int8"). The slabs then hold
+    integer VALUES (cast to compute dtype by the caller) and the scales
+    fold where they are cheapest — k after the head-reduce dot (logits
+    row r scales by k_scale[r]) and v into the (rows, H) probs before the
+    R.T head-broadcast (per-row scaling commutes through it) — the math
+    of tools/kv_traffic_probe.py, which measured the folding at
+    HBM-roofline cost on the saved bytes.
 
     MXU dtype discipline: the big (rows, *)@(*, D) matmuls — the one-hot
     broadcast/gather maps and the prod->logits contraction — run with
@@ -111,6 +145,8 @@ def _segmented_attention(q, k_slab, v_slab, n_heads, seg, *, pos=None):
     prod = qx * k_slab.astype(jnp.float32)
     logits = jnp.dot(prod.astype(cd), R.astype(cd),
                      preferred_element_type=jnp.float32) * (hd ** -0.5)
+    if k_scale is not None:
+        logits = logits * k_scale
     if pos is not None:
         in_seg = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) % seg
         logits = jnp.where(in_seg <= pos, logits, NEG_INF)
@@ -119,9 +155,124 @@ def _segmented_attention(q, k_slab, v_slab, n_heads, seg, *, pos=None):
     p = jnp.exp(logits - m)                                   # (rows, H)
     denom = jnp.dot(M.T, p, preferred_element_type=jnp.float32)  # (Bb, H)
     p = p / jnp.dot(M, denom, preferred_element_type=jnp.float32)
+    if v_scale is not None:
+        # per-ROW scale commutes through the head-broadcast R.T: fold it
+        # into p at (rows, H) — 64x cheaper than scaling p_full (rows, D)
+        p = p * v_scale
     p_full = jnp.dot(p, R.T, preferred_element_type=jnp.float32)
     pv = p_full * v_slab.astype(jnp.float32)
     return jnp.dot(Mc.T, pv.astype(cd),
+                   preferred_element_type=jnp.float32)        # (Bb, D)
+
+
+def _wide_attention(q, k_slab, v_slab, n_heads, seg, *, pos=None,
+                    k_cur=None, v_cur=None, k_scale=None, v_scale=None):
+    """Block-diagonal ("wide") batched attention: same math as
+    :func:`_segmented_attention` with ZERO (rows, D) elementwise passes.
+
+    The per-row cost of the original form is the problem it fixes (see
+    BACKLOG "Batched attention rows-compute"): broadcasting q over the
+    slab (``M @ q``), the ``prod = qx * k_slab`` pass, the ``p_full``
+    probability broadcast and the ``p_full * v_slab`` pass each touch a
+    (Bb*seg, D) f32 temporary per attention instance. Here each batch
+    element's per-head query becomes a COLUMN instead:
+
+      * ``q_cat`` (C=Bb*H, D): row ``b*H+h`` is q[b] masked to head h's
+        lanes (tiny: one replication matmul + one (C, D) mask);
+      * ``logits = dot_general(k_slab, q_cat, contract (1,1))`` — ONE
+        NT matmul streams the k slab through the MXU once, producing
+        (rows, C) logits: entry [r, b*H+h] = <k_r, q_b>_headh. Wrong-
+        batch columns are masked (lane padding makes C<=128 free);
+      * the per-(batch, head) softmax is a plain COLUMN softmax — the
+        row->segment one-hot matmul pair of the original disappears;
+      * ``pv = dot_general(p, v_slab, contract (0,0))`` — one TN matmul
+        streams the v slab once -> (C, D); the output regroups with a
+        head-mask + the same tiny replication matmul.
+
+    The CURRENT position (self-attention) never touches the slab: its
+    logits ride in via a (C, C) diagonal probe of ``k_cur``/``q_cat``
+    (``k_cur``/``v_cur`` are this step's dequantized (Bb, D) rows), so
+    the two (rows, D) where-splices of the original are gone too. With
+    int8 caches (``k_scale``/``v_scale`` (rows, 1)) the folds land on
+    the (rows, C) logits/probs — same spots as the original — and
+    uninitialized scale rows are harmless (masked after the fold).
+
+    Returns (Bb, D) f32. Numerics: identical masking/f32-softmax
+    semantics; MXU operands round to the compute dtype exactly like the
+    original's map matmuls (f32 in == bit-identical oracle tests).
+    """
+    rows, D = k_slab.shape
+    Bb = rows // seg
+    hd = D // n_heads
+    H = n_heads
+    C = Bb * H
+    cd = k_slab.dtype
+    scale = hd ** -0.5
+
+    # (C, Bb) one-hot replication row c -> batch c // H; (C, D) head mask
+    rep = _row_map(C, H, Bb)
+    lane_head = jax.lax.broadcasted_iota(jnp.int32, (C, D), 1) // hd
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (C, D), 0) % H
+    hm = lane_head == col_head
+    rep_c = rep.astype(cd)
+
+    q_rep = jnp.dot(rep_c, q.astype(cd),
+                    preferred_element_type=jnp.float32)       # (C, D)
+    q_cat = jnp.where(hm, q_rep, 0.0).astype(cd)
+
+    nt = (((1,), (1,)), ((), ()))
+    tn = (((0,), (0,)), ((), ()))
+    logits = jax.lax.dot_general(
+        k_slab, q_cat, dimension_numbers=nt,
+        preferred_element_type=jnp.float32) * scale           # (rows, C)
+    if k_scale is not None:
+        logits = logits * k_scale
+    row_b = jax.lax.broadcasted_iota(jnp.int32, (rows, C), 0) // seg
+    col_b = jax.lax.broadcasted_iota(jnp.int32, (rows, C), 1) // H
+    valid = row_b == col_b
+    if pos is not None:
+        in_seg = jax.lax.broadcasted_iota(jnp.int32, (rows, C), 0) % seg
+        valid = valid & (in_seg < pos)  # strict: current row rides below
+    logits = jnp.where(valid, logits, NEG_INF)
+
+    eye = None
+    if k_cur is not None:
+        k_cat = jnp.dot(rep_c, k_cur.astype(cd),
+                        preferred_element_type=jnp.float32)   # (C, D)
+        dkq = jax.lax.dot_general(
+            k_cat.astype(cd), q_cat, dimension_numbers=nt,
+            preferred_element_type=jnp.float32) * scale       # (C, C)
+        eye = (jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+               == jax.lax.broadcasted_iota(jnp.int32, (C, C), 1))
+        diag = jnp.where(eye, dkq, 0.0)
+        cur_row = jnp.sum(diag, axis=0, keepdims=True)        # (1, C)
+        m = jnp.maximum(jnp.max(logits, axis=0, keepdims=True), cur_row)
+    else:
+        m = jnp.max(logits, axis=0, keepdims=True)
+    p = jnp.exp(logits - m)            # masked entries underflow to 0
+    denom = jnp.sum(p, axis=0, keepdims=True)
+    if k_cur is not None:
+        p_cur = jnp.exp(cur_row - m)                          # (1, C)
+        denom = denom + p_cur
+    inv = 1.0 / denom
+    p = p * inv
+    if v_scale is not None:
+        p = p * v_scale
+    pv = jax.lax.dot_general(
+        p.astype(cd), v_slab, dimension_numbers=tn,
+        preferred_element_type=jnp.float32)                   # (C, D)
+    if v_cur is not None:
+        # (1, C) -> (C, 1) via the diagonal of a row-broadcast (Mosaic
+        # has no (1, C) transpose; a (C, C) mask + lane-reduce is free
+        # at C <= 128)
+        p_cur_col = jnp.sum(
+            jnp.where(eye, jnp.broadcast_to(p_cur * inv, (C, C)), 0.0),
+            axis=1, keepdims=True)                            # (C, 1)
+        v_cat = jnp.dot(rep_c, v_cur.astype(cd),
+                        preferred_element_type=jnp.float32)
+        pv = pv + p_cur_col * v_cat
+    pv_m = jnp.where(hm, pv, 0.0).astype(cd)
+    return jnp.dot(rep_c.T, pv_m,
                    preferred_element_type=jnp.float32)        # (Bb, D)
 
 
@@ -163,12 +314,21 @@ def _embed_rows_b(root_ref, attr_ref, key_ref, er, ea, lcw, lck, lcb,
 
 def _batched_prologue(pos_ref, x0, cos_ref, sin_ref, wqkv, bqkv, wo, bo,
                       cwq, cbq, cwo, cbo, nscale, nbias, kx_ref, vx_ref,
-                      kc_ref, vc_ref, kn_ref, vn_ref, n_heads, rope, S, Sm):
+                      kc_ref, vc_ref, kn_ref, vn_ref, n_heads, rope, S, Sm,
+                      scale_refs=None, ksn_ref=None, vsn_ref=None,
+                      wide=False):
     """Self + cross attention sublayers for one B-block. ``x0`` is the
     (Bb, D) input activation (already loaded/computed by the caller).
     Returns x2 (post-norm2, f32) and writes this position's roped K/V
-    rows to kn_ref/vn_ref (the caller appends them to the HBM caches)."""
+    rows to kn_ref/vn_ref (the caller appends them to the HBM caches).
+
+    ``scale_refs`` = (cks, cvs, ks, vs) per-row dequant scale slabs turns
+    on int8-KV mode: the four cache refs hold int8, this position's K/V
+    rows are quantized in-kernel (integer-valued rows -> kn/vn, scales ->
+    ksn/vsn) and spliced in integer space, and the scales fold inside
+    :func:`_segmented_attention`."""
     pos = pos_ref[0]
+    quant = scale_refs is not None
     if rope:
         # (1, D) rows for THIS position, sliced once per step by the
         # caller (full f32 tables would cost 2x (S, D) VMEM per layer)
@@ -183,26 +343,69 @@ def _batched_prologue(pos_ref, x0, cos_ref, sin_ref, wqkv, bqkv, wo, bo,
     if rope:
         q = q * cos_p + _rot_pairs(q) * sin_p
         k = k * cos_p + _rot_pairs(k) * sin_p
-    kn_ref[:] = k.astype(kn_ref.dtype)
-    vn_ref[:] = v.astype(vn_ref.dtype)
+    cd = x0.dtype
+    ks_col = vs_col = cks = cvs = None
+    if quant:
+        cks_ref, cvs_ref, ks_ref, vs_ref = scale_refs
+        # quantize this position's rows: integer values are APPENDED
+        # (ksn/vsn carry the scales), but the row this STEP attends with
+        # is the DEQUANTIZED q*s — numerically identical to what future
+        # steps reconstruct (int row x scale). On the splice path the
+        # scale column reads 1.0 at the current position (a where, no
+        # one-hot matmul: a (rows,1)@ MXU dot pads to 128 lanes and two
+        # of them per self-attention measured ~wash vs the saved bytes);
+        # the wide path never touches the slab for the current row, so
+        # it reads the raw scale columns (garbage rows masked after the
+        # fold).
+        kq, ks_new = _quant_rows(k)
+        vq, vs_new = _quant_rows(v)
+        ksn_ref[:] = ks_new
+        vsn_ref[:] = vs_new
+        kn_ref[:] = kq.astype(kn_ref.dtype)
+        vn_ref[:] = vq.astype(vn_ref.dtype)
+        k = kq * ks_new
+        v = vq * vs_new
+        if wide:
+            ks_col, vs_col = ks_ref[:], vs_ref[:]
+        else:
+            in_col = jax.lax.broadcasted_iota(jnp.int32, (Bb * S, 1),
+                                              0) % S
+            ks_col = jnp.where(in_col == pos, 1.0, ks_ref[:])
+            vs_col = jnp.where(in_col == pos, 1.0, vs_ref[:])
+        cks, cvs = cks_ref[:], cvs_ref[:]
+    else:
+        kn_ref[:] = k.astype(kn_ref.dtype)
+        vn_ref[:] = v.astype(vn_ref.dtype)
 
-    # splice this position's K/V into the (input-only) cache slabs (the
-    # broadcast map matmul runs compute-dtype on the MXU — the spliced
-    # row is rounded exactly like the appended row future steps read)
-    M = _row_map(Bb * S, S, Bb).astype(kc_ref.dtype)
-    in_seg = jax.lax.broadcasted_iota(jnp.int32, (Bb * S, D), 0) % S
-    k_slab = jnp.where(
-        in_seg == pos,
-        jnp.dot(M, k.astype(kc_ref.dtype),
-                preferred_element_type=jnp.float32).astype(kc_ref.dtype),
-        kc_ref[:])
-    v_slab = jnp.where(
-        in_seg == pos,
-        jnp.dot(M, v.astype(vc_ref.dtype),
-                preferred_element_type=jnp.float32).astype(vc_ref.dtype),
-        vc_ref[:])
-
-    attn = _segmented_attention(q, k_slab, v_slab, n_heads, S, pos=pos)
+    if wide:
+        # no splice: the current position's K/V ride into the attention
+        # as separate (Bb, D) rows (see _wide_attention)
+        attn = _wide_attention(q, kc_ref[:].astype(cd),
+                               vc_ref[:].astype(cd), n_heads, S, pos=pos,
+                               k_cur=k, v_cur=v,
+                               k_scale=ks_col, v_scale=vs_col)
+    else:
+        # splice this position's K/V into the (input-only) cache slabs
+        # (the broadcast map matmul runs compute-dtype on the MXU — the
+        # spliced row is rounded exactly like the appended row future
+        # steps read: with int8 caches the spliced row is the
+        # dequantized q*s in compute dtype, future reads reconstruct the
+        # same product from the int8 row)
+        M = _row_map(Bb * S, S, Bb).astype(cd)
+        in_seg = jax.lax.broadcasted_iota(jnp.int32, (Bb * S, D), 0) % S
+        k_slab = jnp.where(
+            in_seg == pos,
+            jnp.dot(M, k.astype(cd),
+                    preferred_element_type=jnp.float32).astype(cd),
+            kc_ref[:].astype(cd))
+        v_slab = jnp.where(
+            in_seg == pos,
+            jnp.dot(M, v.astype(cd),
+                    preferred_element_type=jnp.float32).astype(cd),
+            vc_ref[:].astype(cd))
+        attn = _segmented_attention(q, k_slab, v_slab, n_heads, S,
+                                    pos=pos, k_scale=ks_col,
+                                    v_scale=vs_col)
     h = jnp.dot(attn.astype(x0.dtype), wo[:].astype(x0.dtype),
                 preferred_element_type=jnp.float32)
     h = h + bo[:].astype(jnp.float32)
@@ -214,19 +417,23 @@ def _batched_prologue(pos_ref, x0, cos_ref, sin_ref, wqkv, bqkv, wo, bo,
     cq = cq + cbq[:].astype(jnp.float32)
     if rope:
         cq = cq * cos_p + _rot_pairs(cq) * sin_p
-    cattn = _segmented_attention(cq, kx_ref[:], vx_ref[:], n_heads, Sm,
-                                 pos=None)
+    cross_fn = _wide_attention if wide else _segmented_attention
+    cattn = cross_fn(cq, kx_ref[:].astype(cd), vx_ref[:].astype(cd),
+                     n_heads, Sm, pos=None, k_scale=cks, v_scale=cvs)
     ch = jnp.dot(cattn.astype(x0.dtype), cwo[:].astype(x0.dtype),
                  preferred_element_type=jnp.float32)
     ch = ch + cbo[:].astype(jnp.float32)
     return _layer_norm(x1 + ch, nscale[1:2, :], nbias[1:2, :])
 
 
-def _attn_kernel_b(*refs, n_heads, rope, S, Sm, shallow, embed):
+def _attn_kernel_b(*refs, n_heads, rope, S, Sm, shallow, embed, quant,
+                   wide):
     """One B-block of the attention half (plus the SwiGLU FFN when
     ``shallow``). With ``embed`` the kernel absorbs the chord-embedding +
     Linear_chord prologue ("ends" folding, decode/fused.py): the block's
-    token/key rows ride in as (Bb, 1) refs instead of an x block."""
+    token/key rows ride in as (Bb, 1) refs instead of an x block. With
+    ``quant`` the four cache refs are int8 and followed by their per-row
+    scale slabs (kv_quant="int8")."""
     it = iter(refs)
     pos_ref = next(it)
     if embed:
@@ -241,7 +448,10 @@ def _attn_kernel_b(*refs, n_heads, rope, S, Sm, shallow, embed):
     if shallow:
         fw1g, fb1g, fw2, fb2 = next(it), next(it), next(it), next(it)
     kx_ref, vx_ref, kc_ref, vc_ref = next(it), next(it), next(it), next(it)
+    scale_refs = ((next(it), next(it), next(it), next(it)) if quant
+                  else None)
     y_ref, kn_ref, vn_ref = next(it), next(it), next(it)
+    ksn_ref, vsn_ref = (next(it), next(it)) if quant else (None, None)
 
     if embed:
         x0 = _embed_rows_b(root_ref, attr_ref, key_ref, er, ea, lcw, lck,
@@ -251,7 +461,8 @@ def _attn_kernel_b(*refs, n_heads, rope, S, Sm, shallow, embed):
     x2 = _batched_prologue(pos_ref, x0, cos_ref, sin_ref, wqkv, bqkv,
                            wo, bo, cwq, cbq, cwo, cbo, nscale, nbias,
                            kx_ref, vx_ref, kc_ref, vc_ref, kn_ref, vn_ref,
-                           n_heads, rope, S, Sm)
+                           n_heads, rope, S, Sm, scale_refs=scale_refs,
+                           ksn_ref=ksn_ref, vsn_ref=vsn_ref, wide=wide)
     if shallow:
         h = _swiglu_b(x2.astype(y_ref.dtype), fw1g[:], fb1g[:], fw2[:],
                       fb2[:])
@@ -370,7 +581,8 @@ def pick_block_b(B: int) -> int:
 def batched_layer_step(x, pos, layer: Dict[str, Any], k_cache, v_cache,
                        k_cross, v_cross, *, n_heads: int, rope: bool,
                        block_b: int = None, interpret: bool = False,
-                       tokens=None, embed_pack: Dict[str, Any] = None):
+                       tokens=None, embed_pack: Dict[str, Any] = None,
+                       kv_scales=None, wide: bool = False):
     """Attention half (plus FFN for shallow layers) of one fused BATCHED
     decoder-layer step.
 
@@ -389,11 +601,23 @@ def batched_layer_step(x, pos, layer: Dict[str, Any], k_cache, v_cache,
         into this (first) layer's kernel ("ends" mode); requires
         ``embed_pack`` with emb_root/emb_attr/lc_w/lc_krow/lc_b
         (decode/fused.py builds it).
+      kv_scales: optional (k_scale, v_scale, ck_scale, cv_scale) per-row
+        f32 dequant scales of shapes (B, S, 1)/(B, S, 1)/(B, Sm, 1)/
+        (B, Sm, 1) — turns on int8-KV mode: the four cache args must be
+        int8 (``quantize_kv_rows`` layout) and the return grows scale
+        rows for the append.
+      wide: use the block-diagonal attention form (:func:`_wide_attention`
+        — one NT + one TN slab matmul, zero (rows, D) elementwise
+        passes) instead of the one-hot broadcast form
+        (:func:`_segmented_attention`). Same semantics.
     Returns:
       (y, k_row, v_row): y is (B, D) — the full layer output for shallow
       (SwiGLU) layers, or the post-norm2 activation for deep (MoE) layers
       (feed it to :func:`batched_moe_ffn`); k_row/v_row are the (B, D)
-      roped K/V rows for position ``pos``.
+      roped K/V rows for position ``pos``. With ``kv_scales`` the rows
+      come back integer-valued plus (B, 1) f32 scale rows:
+      (y, k_row, v_row, ks_row, vs_row) — cast the rows to int8 when
+      appending.
     """
     B, S, D = k_cache.shape
     Sm = k_cross.shape[1]
@@ -417,12 +641,15 @@ def batched_layer_step(x, pos, layer: Dict[str, Any], k_cache, v_cache,
     sin_p = jax.lax.dynamic_slice_in_dim(jnp.asarray(sin), p, 1, axis=0)
     deep = "gate_w" in layer
     embed = tokens is not None
+    quant = kv_scales is not None
     dtype = layer["wqkv"].dtype if embed else x.dtype
 
     grid = (B // block_b,)
     full = lambda a: _vmem(a.shape, lambda i: (0,) * a.ndim)
     slab = lambda n: _vmem((block_b * n, D), lambda i: (i, 0))
+    scol = lambda n: _vmem((block_b * n, 1), lambda i: (i, 0))
     row_block = _vmem((block_b, D), lambda i: (i, 0))
+    col_block = _vmem((block_b, 1), lambda i: (i, 0))
     tok_block = _vmem((block_b, 1), lambda i: (i, 0))
 
     if embed:
@@ -445,7 +672,7 @@ def batched_layer_step(x, pos, layer: Dict[str, Any], k_cache, v_cache,
                     layer["fb2"]]
     kernel = functools.partial(_attn_kernel_b, n_heads=n_heads,
                                rope=rope, S=S, Sm=Sm, shallow=not deep,
-                               embed=embed)
+                               embed=embed, quant=quant, wide=wide)
 
     args = ([pos_arr] + lead + [cos_p, sin_p] + weights
             + [k_cross.reshape(B * Sm, D), v_cross.reshape(B * Sm, D),
@@ -455,15 +682,31 @@ def batched_layer_step(x, pos, layer: Dict[str, Any], k_cache, v_cache,
         + [full(cos_p), full(sin_p)]
         + [full(w) for w in weights]
         + [slab(Sm), slab(Sm), slab(S), slab(S)])
+    if quant:
+        ksc, vsc, cksc, cvsc = kv_scales
+        # kernel-side unpack order: (cks, cvs, ks, vs)
+        args += [cksc.reshape(B * Sm, 1), cvsc.reshape(B * Sm, 1),
+                 ksc.reshape(B * S, 1), vsc.reshape(B * S, 1)]
+        in_specs += [scol(Sm), scol(Sm), scol(S), scol(S)]
 
-    y, k_row, v_row = pl.pallas_call(
+    # with int8 caches the returned rows are integer-valued in the
+    # compute dtype (exact for |q| <= 127); the caller casts on append
+    out_shape = [jax.ShapeDtypeStruct((B, D), dtype),
+                 jax.ShapeDtypeStruct(
+                     (B, D), dtype if quant else k_cache.dtype),
+                 jax.ShapeDtypeStruct(
+                     (B, D), dtype if quant else v_cache.dtype)]
+    out_specs = [row_block, row_block, row_block]
+    if quant:
+        out_shape += [jax.ShapeDtypeStruct((B, 1), jnp.float32)] * 2
+        out_specs += [col_block, col_block]
+
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
-        out_shape=(jax.ShapeDtypeStruct((B, D), dtype),
-                   jax.ShapeDtypeStruct((B, D), k_cache.dtype),
-                   jax.ShapeDtypeStruct((B, D), v_cache.dtype)),
+        out_shape=tuple(out_shape),
         in_specs=in_specs,
-        out_specs=(row_block, row_block, row_block),
+        out_specs=tuple(out_specs),
         # B-blocks are independent. The limit is raised to the SMALLEST
         # bucket that fits (the f32 attention intermediates need a
         # 45.2 MB scoped stack at block_b=8 full size; 17.9 MB OOM vs
@@ -471,12 +714,15 @@ def batched_layer_step(x, pos, layer: Dict[str, Any], k_cache, v_cache,
         # (100 MB) measured a 2-3x slowdown of EVERY kernel in the
         # surrounding decode loop — the scheduler serializes around
         # calls with a large declared footprint (see BACKLOG).
+        # The wide form's biggest live set is the streamed slabs + the
+        # (rows, C) logits/probs — the (rows, D) f32 intermediates that
+        # forced 48 MB on the splice path don't exist there.
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            vmem_limit_bytes=48 * 1024 * 1024),
+            vmem_limit_bytes=(24 if wide else 48) * 1024 * 1024),
         interpret=interpret,
     )(*args)
-    return y, k_row, v_row
+    return outs
 
 
 def batched_moe_ffn(x2, combine_weights, layer: Dict[str, Any], *,

@@ -762,6 +762,7 @@ class Video2music:
                        correct_panning: bool = False,
                        compute_dtype: str = "bfloat16",
                        quantize: Optional[str] = None,
+                       kv_quant: Optional[str] = None,
                        n_real: Optional[int] = None,
                        on_decoded=None, defer_render: bool = False):
         """Batched serving: decode B clips in ONE compiled program.
@@ -782,6 +783,11 @@ class Video2music:
             ``caption_overlays``, ``output_dir``.
           temperature: one float for the whole batch, or a sequence of
             per-request floats (len == len(requests)).
+          kv_quant: None or "int8" — int8 KV caches on the batched fused
+            decode (decode/sampler.py): halves resident KV-cache HBM for
+            memory-bound serving (bigger max batch); measured ~5% SLOWER
+            than bf16 caches at B=32 (see generate_chords docstring).
+            Quantized numerics (~1e-2 relative logits error); opt-in.
           n_real: if set, only the first ``n_real`` requests are real —
             the rest are shape-padding clones (the DynamicBatcher's
             bucketing); they decode on-device but skip the host-side
@@ -873,12 +879,12 @@ class Video2music:
         cache = getattr(self, "_gen_cache", None)
         if cache is None:
             cache = self._gen_cache = {}
-        ck = ("batch", gcfg, quantize)
+        ck = ("batch", gcfg, quantize, kv_quant)
         if ck not in cache:
             cache[ck] = jax.jit(
                 lambda v, rv, feats, np_, temp, rng: self._generate_jit(
                     v, rv, feats, rng, gcfg, np_, quantize,
-                    temperature=temp))
+                    temperature=temp, kv_quant=kv_quant))
         out = cache[ck](variables, reg_variables, feats, num_primer,
                         jnp.asarray(temps[:, None]), jax.random.PRNGKey(seed))
 
@@ -953,7 +959,8 @@ class Video2music:
         return cache[key]
 
     def _generate_jit(self, variables, reg_variables, feats, rng, gcfg,
-                      num_primer, quantize=None, temperature=None):
+                      num_primer, quantize=None, temperature=None,
+                      kv_quant=None):
         """One traced program: chord decode + regression forward."""
         out = generate_chords(
             self.model, variables, semantic=feats["semantic"],
@@ -961,7 +968,8 @@ class Video2music:
             motion=feats["motion"], emotion=feats["emotion"],
             primer=feats["primer"], primer_root=feats["primer_root"],
             primer_attr=feats["primer_attr"], num_primer=num_primer,
-            rng=rng, gcfg=gcfg, temperature=temperature, quantize=quantize)
+            rng=rng, gcfg=gcfg, temperature=temperature, quantize=quantize,
+            kv_quant=kv_quant)
         (ln_nd, inst), _ = self.model_reg.apply(
             reg_variables, feats["semantic"], feats["scene_offset"],
             feats["motion"], feats["emotion"], deterministic=True,
