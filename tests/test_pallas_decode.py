@@ -382,13 +382,16 @@ def test_fused_batch_generate_matches_unfused(rng):
                                               err_msg=f"B={B} {mode} {k}")
 
 
-def test_fused_batch_step_logits_match_unfused(rng):
+@pytest.mark.parametrize("wide", [False, True])
+def test_fused_batch_step_logits_match_unfused(rng, wide):
     """BATCHED fused step (ops/pallas_decode_batch: B-blocked attention
     kernel + weight-stationary MoE kernel) vs the flax decode_step at
     B=4: logits must agree at every position for every element — covers
     the sublane-stacked segment attention, the in-register cache splice +
     dynamic_update_slice append, per-row top-k gating, and both layer
-    kinds."""
+    kinds. ``wide`` runs the block-diagonal attention form
+    (_wide_attention: NT/TN slab matmuls, separate current-row path, no
+    splice) against the same oracle."""
     from video2music_tpu.decode.fused import (init_fused_batch_caches,
                                               make_fused_batch_step)
 
@@ -411,7 +414,7 @@ def test_fused_batch_step_logits_match_unfused(rng):
     for ends in (False, True):
         step_logits = make_fused_batch_step(variables["params"], cfg,
                                             block_b=2, interpret=True,
-                                            ends=ends)
+                                            ends=ends, wide=wide)
         fused_caches = init_fused_batch_caches(variables["params"], cfg, B,
                                                primed["cache"])
 
@@ -522,14 +525,16 @@ def test_quantize_kv_rows_roundtrip(rng):
     assert np.all(deq[1, 3] == 0.0)
 
 
-def test_kv_quant_batch_step_logits_close(rng):
+@pytest.mark.parametrize("wide", [False, True])
+def test_kv_quant_batch_step_logits_close(rng, wide):
     """Int8-KV batched fused step (kv_quant="int8": int8 self+cross cache
     slabs, per-row scales folded in-kernel, quantized appends) vs the
     unquantized flax decode_step: logits must track within quantization
     error at every position — asserts relative L2 error < 3% and that the
     int8 caches/scale leaves round-trip through the appends (later
     positions read earlier quantized rows). Covers ends=False (XLA glue)
-    and ends=True (embed/router/head folded)."""
+    and ends=True (embed/router/head folded), in both attention forms
+    (``wide``: raw scale columns, no current-row splice)."""
     from video2music_tpu.decode.fused import (init_fused_batch_caches,
                                               make_fused_batch_step)
 
@@ -548,7 +553,8 @@ def test_kv_quant_batch_step_logits_close(rng):
     for ends in (False, True):
         step_logits = make_fused_batch_step(variables["params"], cfg,
                                             block_b=2, interpret=True,
-                                            ends=ends, kv_quant="int8")
+                                            ends=ends, kv_quant="int8",
+                                            wide=wide)
         caches = init_fused_batch_caches(variables["params"], cfg, B,
                                          primed["cache"], kv_quant="int8")
         assert caches["k0"].dtype == jnp.int8

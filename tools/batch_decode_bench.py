@@ -86,6 +86,10 @@ def parity(bf16=False):
                                           primed["cache"])
     jit_ends = jax.jit(make_fused_batch_step(variables["params"], cfg,
                                              ends=True))
+    wide_caches = init_fused_batch_caches(variables["params"], cfg, B,
+                                          primed["cache"])
+    jit_wide = jax.jit(make_fused_batch_step(variables["params"], cfg,
+                                             ends=True, wide=True))
 
     def xla_step(cache, t, r, a, k, pos):
         logits, mutated = model.apply(
@@ -114,18 +118,23 @@ def parity(bf16=False):
         want, flax_cache = jit_xla(flax_cache, t, r, a, feats["key"], p)
         got, fused_caches = jit_fused(fused_caches, t, r, a, feats["key"], p)
         got_e, ends_caches = jit_ends(ends_caches, t, r, a, feats["key"], p)
+        got_w, wide_caches = jit_wide(wide_caches, t, r, a, feats["key"], p)
         got1, fused1_caches = jit_fused1(fused1_caches, t[:1], r[:1], a[:1],
                                          feats["key"][:1], p)
         scale = float(jnp.max(jnp.abs(np.asarray(want))))
         diff = float(jnp.max(jnp.abs(np.asarray(got) - np.asarray(want))))
         diff_e = float(jnp.max(jnp.abs(np.asarray(got_e)
                                        - np.asarray(want))))
+        diff_w = float(jnp.max(jnp.abs(np.asarray(got_w)
+                                       - np.asarray(want))))
         nf = float(jnp.max(jnp.abs(np.asarray(got1)
                                    - np.asarray(want[:1]))))
-        worst = max(worst, diff / max(scale, 1e-6), diff_e / max(scale, 1e-6))
+        worst = max(worst, diff / max(scale, 1e-6), diff_e / max(scale, 1e-6),
+                    diff_w / max(scale, 1e-6))
         floor = max(floor, nf / max(scale, 1e-6))
         print(f"pos={pos} rel(batchfused-xla)={diff / max(scale, 1e-6):.3e} "
               f"rel(ends-xla)={diff_e / max(scale, 1e-6):.3e} "
+              f"rel(wide-xla)={diff_w / max(scale, 1e-6):.3e} "
               f"rel(b1fused-xla)={nf / max(scale, 1e-6):.3e}", flush=True)
     assert worst < max(5 * floor, 5e-3), \
         f"parity FAILED: rel={worst} b1_fused_floor={floor}"
@@ -484,7 +493,7 @@ def kv_parity():
 
 
 def timing(B=32, reps=5, n_lo=1, n_hi=4, segments=(0,),
-           modes=("off", "on"), kv_quant=None):
+           modes=("off", "on"), kv_quant=None, wide=None):
     """Fused-vs-XLA batched decode at batch size B (argv: timing [B]).
 
     ``segments`` sweeps GenerateConfig.cache_segments (0 = auto): the
@@ -524,7 +533,7 @@ def timing(B=32, reps=5, n_lo=1, n_hi=4, segments=(0,),
                 motion=feats["motion"], emotion=feats["emotion"],
                 primer=primer, primer_root=primer, primer_attr=primer,
                 num_primer=1, temperature=1.0, rng=jax.random.PRNGKey(seed),
-                gcfg=gcfg, fused=fused, kv_quant=kv_quant)
+                gcfg=gcfg, fused=fused, kv_quant=kv_quant, wide=wide)
         return jax.jit(f)
 
     combine = jax.jit(lambda seqs: jnp.stack(seqs).sum())
@@ -532,7 +541,8 @@ def timing(B=32, reps=5, n_lo=1, n_hi=4, segments=(0,),
     for fused in modes:
         for n_seg in segments:
             jitted = run(fused, n_seg)
-            tag = f"fused={fused} seg={n_seg} kv={kv_quant or 'bf16'}"
+            tag = (f"fused={fused} seg={n_seg} kv={kv_quant or 'bf16'}"
+                   + ("" if wide is None else f" wide={wide}"))
             t0 = time.perf_counter()
             np.asarray(jitted(variables, feats, 0)["gen_seq"])
             print(f"{tag}: compile+first {time.perf_counter()-t0:.1f} s",
@@ -574,6 +584,10 @@ if __name__ == "__main__":
                segments=(0,), modes=("on", "ends"))
     if mode == "kvparity":
         kv_parity()
+    if mode == "widetiming":  # block-diagonal vs broadcast attention form
+        B = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+        timing(B=B, segments=(0,), modes=("ends",), wide=True)
+        timing(B=B, segments=(0,), modes=("ends",), wide=False)
     if mode == "kvtiming":  # int8-KV vs bf16 caches, batched ends, seg auto
         B = int(sys.argv[2]) if len(sys.argv) > 2 else 32
         timing(B=B, segments=(0,), modes=("ends",), kv_quant="int8")

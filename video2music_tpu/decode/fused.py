@@ -456,7 +456,7 @@ def init_fused_batch_caches(params: Dict[str, Any], cfg, B: int,
 def make_fused_batch_step(params: Dict[str, Any], cfg, *,
                           block_b: int = None, interpret: bool = False,
                           ends: bool = False, kv_quant: str = None,
-                          wide: bool = False):
+                          wide: bool = None):
     """Batched (B>1) fused step: step_logits(caches, token, token_root,
     token_attr, key, pos) -> (logits (B, CHORD_SIZE), new_caches).
 

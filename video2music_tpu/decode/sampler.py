@@ -158,7 +158,7 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
                     rng, gcfg: GenerateConfig = GenerateConfig(),
                     temperature=None, fused: str = "auto",
                     interpret: bool = False, quantize: str = None,
-                    kv_quant: str = None):
+                    kv_quant: str = None, wide: bool = None):
     """Generate a (B, target_seq_length) chord-id sequence.
 
     Args:
@@ -215,6 +215,10 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
         bit-exact across cache_segments settings. Ignored where no
         batched fused kernel runs (B=1 — kernel-latency bound — or XLA
         fallbacks). Mutually exclusive with ``quantize``.
+      wide: batched fused kernels only — attention form override
+        (ops/pallas_decode_batch: True = block-diagonal _wide_attention,
+        False = one-hot broadcast _segmented_attention; None = the
+        module default WIDE_DEFAULT). Same semantics either way.
     Returns:
       dict with gen_seq / gen_seq_root / gen_seq_attr, each
       (B, target_seq_length) int32.
@@ -386,7 +390,7 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
         step_logits = make_fused_batch_step(variables["params"], model.cfg,
                                             interpret=interpret,
                                             ends=fused in ("auto", "ends"),
-                                            kv_quant=kv_quant)
+                                            kv_quant=kv_quant, wide=wide)
         cache = init_fused_batch_caches(variables["params"], model.cfg, B,
                                         cache, kv_quant=kv_quant)
     else:

@@ -20,11 +20,24 @@ kernels fuse the batched step into two ``pallas_call``s per layer:
 
 Everything is strictly 2D inside the kernels (Mosaic cannot reshape
 lanes<->sublanes): the per-batch-element attention segments live in the
-SUBLANE dimension as (block_b * S, D) slabs, and all per-group reductions
-and broadcasts ride one-hot row-map matmuls (``row -> batch element``),
-the batched generalization of the B=1 kernel's one-hot head-map trick.
-The per-group softmax subtracts the column-global max (>= every group
-max, so the normalized result is identical).
+SUBLANE dimension as (block_b * S, D) slabs. Two attention forms share
+that layout:
+
+  * ``_wide_attention`` (the default, ``WIDE_DEFAULT``): block-diagonal
+    query matmul — each (batch, head) query becomes a COLUMN of a
+    (C=Bb*H, D) ``q_cat``, so the whole attention is ONE NT matmul
+    (k_slab -> (rows, C) logits), a column softmax, and ONE TN matmul
+    (probs x v_slab) + a tiny head regroup; the current position rides a
+    separate (C, C) diagonal probe instead of a slab splice. Zero
+    (rows, D) elementwise passes. Measured 1.39x over the broadcast form
+    at B=32 full size (5.33 vs 7.40 ms/clip — see WIDE_DEFAULT).
+  * ``_segmented_attention`` (``wide=False``): per-group reductions and
+    broadcasts ride one-hot row-map matmuls (``row -> batch element``),
+    the batched generalization of the B=1 kernel's one-hot head-map
+    trick, with the current position spliced into the slab.
+
+Both subtract a column-global max in the softmax (>= every group max,
+so the normalized result is identical).
 
 Semantics mirror the XLA path exactly (post-norm LayerNorm(eps=1e-5)
 residual blocks, f32 softmax, pairwise RoPE, -1e9 causal mask, eval-mode
@@ -71,6 +84,14 @@ from .pallas_decode import (LN_EPS, NEG_INF, _head_map, _layer_norm,
 # everywhere and this constant only gates the UNSEGMENTED
 # (cache_segments=1) auto routing.
 FUSED_BATCH_MAX_B = 16
+
+# Default attention form for the batched kernels: True = block-diagonal
+# ("wide", _wide_attention), False = one-hot broadcast
+# (_segmented_attention). Callers passing wide=None get this. Measured
+# full-size 2.2 bf16, seg-auto, ends, v5e (tools/batch_decode_bench.py
+# widetiming): B=32 wide 5.33 vs 7.40 ms/clip (56.2k vs 40.5k tok/s
+# aggregate) — the per-row-compute cut the int8-KV accounting predicted.
+WIDE_DEFAULT = True
 
 
 def quantize_kv_rows(x):
@@ -582,7 +603,7 @@ def batched_layer_step(x, pos, layer: Dict[str, Any], k_cache, v_cache,
                        k_cross, v_cross, *, n_heads: int, rope: bool,
                        block_b: int = None, interpret: bool = False,
                        tokens=None, embed_pack: Dict[str, Any] = None,
-                       kv_scales=None, wide: bool = False):
+                       kv_scales=None, wide: bool = None):
     """Attention half (plus FFN for shallow layers) of one fused BATCHED
     decoder-layer step.
 
@@ -609,7 +630,8 @@ def batched_layer_step(x, pos, layer: Dict[str, Any], k_cache, v_cache,
       wide: use the block-diagonal attention form (:func:`_wide_attention`
         — one NT + one TN slab matmul, zero (rows, D) elementwise
         passes) instead of the one-hot broadcast form
-        (:func:`_segmented_attention`). Same semantics.
+        (:func:`_segmented_attention`). Same semantics. None = the
+        module default (``WIDE_DEFAULT``).
     Returns:
       (y, k_row, v_row): y is (B, D) — the full layer output for shallow
       (SwiGLU) layers, or the post-norm2 activation for deep (MoE) layers
@@ -622,6 +644,8 @@ def batched_layer_step(x, pos, layer: Dict[str, Any], k_cache, v_cache,
     B, S, D = k_cache.shape
     Sm = k_cross.shape[1]
     hd = D // n_heads
+    if wide is None:
+        wide = WIDE_DEFAULT
     if block_b is None:
         block_b = pick_block_b(B)
     if B % block_b:
@@ -714,12 +738,14 @@ def batched_layer_step(x, pos, layer: Dict[str, Any], k_cache, v_cache,
         # (100 MB) measured a 2-3x slowdown of EVERY kernel in the
         # surrounding decode loop — the scheduler serializes around
         # calls with a large declared footprint (see BACKLOG).
-        # The wide form's biggest live set is the streamed slabs + the
-        # (rows, C) logits/probs — the (rows, D) f32 intermediates that
-        # forced 48 MB on the splice path don't exist there.
+        # The wide form's biggest live set is the double-buffered streamed
+        # slabs (4 x 2.4 MB x 2 at block_b=8 full size) + the (rows, C)
+        # logits/probs — the (rows, D) f32 intermediates that forced
+        # 48 MB on the splice path don't exist there (24 MB measured OOM,
+        # 32 MB fits).
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            vmem_limit_bytes=(24 if wide else 48) * 1024 * 1024),
+            vmem_limit_bytes=(32 if wide else 48) * 1024 * 1024),
         interpret=interpret,
     )(*args)
     return outs
