@@ -171,7 +171,7 @@ def bench_cached(model, variables, feats, n_lo=2, n_hi=42, repeats=7):
     return slopes
 
 
-def bench_batched(model, variables, B=32, n_lo=1, n_hi=6, repeats=5):
+def bench_batched(model, variables, B=32, n_lo=2, n_hi=12, repeats=7):
     """Aggregate decode throughput on the batched-serving path: one
     program decodes B clips (the program shape ``pipeline.generate_batch``
     / DynamicBatcher dispatch; the sampler auto-routes batched decodes
@@ -181,7 +181,18 @@ def bench_batched(model, variables, B=32, n_lo=1, n_hi=6, repeats=5):
     discipline as
     :func:`bench_cached`: blocks of N batch calls, ONE dependent combine
     sync per block. Returns per-CALL seconds slopes (aggregate tok/s =
-    300*B / slope)."""
+    300*B / slope).
+
+    Noise discipline (the BENCH_r04 43.1%-spread lesson, diagnosed with
+    tools/batch_spread_diag.py): in a clean dedicated process the wide
+    kernel's per-call time is stable to ~1% — the published 43% spread
+    was process contamination, amplified by the old tiny blocks (n_lo=1/
+    n_hi=6: a single outlier call lands on a 5-call slope divisor).
+    Mitigations here, each measured: 2/12 blocks (10-call divisor —
+    spreads 0.2-1.6% vs up to 4.2% at 1/6), cyclic GC paused over the
+    timed region (gc=off halved the residual spread; jax keeps ~270k
+    tracked host objects), and two untimed full passes after the combine
+    warmups so no cold-path host work lands in the first timed block."""
     from video2music_tpu.decode.sampler import GenerateConfig, generate_chords
 
     gcfg = GenerateConfig(target_seq_length=300, temperature=1.0)
@@ -209,12 +220,19 @@ def bench_batched(model, variables, B=32, n_lo=1, n_hi=6, repeats=5):
         np.asarray(combine([o["gen_seq"] for o in outs]))
         return time.perf_counter() - t0
 
+    import gc
     timed(n_lo, 9000), timed(n_hi, 9500)  # warm combine per N
-    slopes = []
-    for r in range(repeats):
-        t_lo = timed(n_lo, 100 * r)
-        t_hi = timed(n_hi, 100 * r + 50)
-        slopes.append((t_hi - t_lo) / (n_hi - n_lo))
+    timed(n_hi, 9600), timed(n_hi, 9700)  # untimed full passes
+    gc.collect()
+    gc.disable()
+    try:
+        slopes = []
+        for r in range(repeats):
+            t_lo = timed(n_lo, 100 * r)
+            t_hi = timed(n_hi, 100 * r + 50)
+            slopes.append((t_hi - t_lo) / (n_hi - n_lo))
+    finally:
+        gc.enable()
     return slopes
 
 
