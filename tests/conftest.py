@@ -66,6 +66,10 @@ _SLOW_TESTS = {
     "test_cached_decode_matches_full_forward",
     "test_capacity_dispatch_drops_overflow",
     "test_train_amt_writes_tensorboard",
+    "test_train_eval_roundtrip_improves",
+    "test_train_eval_roundtrip_detects_flipped_loss",
+    "test_variant_int8_step_matches_fake_quant_oracle",
+    "test_variant_int8_generate_matches_unfused_fake_quant",
 }
 
 

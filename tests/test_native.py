@@ -211,10 +211,13 @@ def test_native_render_clip_byte_identical(correct_panning):
 
     rng = np.random.default_rng(7)
     n_sec, n_inst = 60, 40
-    # voiced chords: lengths 0 (skip), 3 (skip), 4, 5 mixed
+    # voiced chords: lengths 0 (skip), 3 (skip), 4, 5, and 6/7 — >5-note
+    # chords exercise the eff_len mapping where the fifth plays ONLY when
+    # len(chord) == 5 exactly (arpeggio.add_chord's len check), truncated
+    # to the first five notes
     midi_chords = []
     for i in range(n_sec):
-        n = rng.choice([0, 3, 4, 5, 5, 4])
+        n = rng.choice([0, 3, 4, 5, 5, 4, 6, 7])
         midi_chords.append(list(rng.integers(-3, 131, n)))  # incl. clamps
     offsets = rng.integers(0, 7, n_sec)
     densities = rng.integers(0, 5, n_sec)

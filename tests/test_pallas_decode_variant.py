@@ -178,6 +178,183 @@ def test_variant_generate_matches_unfused(rng, version):
                                       err_msg=f"{version} {k}")
 
 
+@pytest.mark.parametrize("version", [None, "1.0", "1.2.3", "3.0", "3.2"])
+def test_variant_int8_step_matches_fake_quant_oracle(rng, version):
+    """Int8 weight-only decode on the VARIANT kernels: fused kernels
+    reading int8 weights + per-column scales must agree with the unfused
+    XLA step run on fake-quantized params — covers the base-AMT ReLU MLP
+    (Dense_0/Dense_1), V1 MLP experts with and without the shared expert,
+    and V3 differential projections (per-column scales commute with every
+    output-channel matmul; RPR Er / lambda / subln stay full precision)."""
+    from video2music_tpu.ops.pallas_decode import fake_quantize_decoder_params
+
+    model, cfg = _tiny(version)
+    feats = _feats(rng)
+    variables = _init(model, feats)
+
+    memory, _ = model.apply(variables, feats["semantic"],
+                            feats["scene_offset"], feats["motion"],
+                            feats["emotion"], method=model.encode,
+                            mutable=["metrics", "moe_state"])
+    _, primed = model.apply(variables, memory, method=model.prime,
+                            mutable=["cache"])
+
+    step_logits = make_fused_variant_step(variables["params"], cfg,
+                                          interpret=True, quantize="int8")
+    fused_caches = init_fused_variant_caches(variables["params"], cfg,
+                                             primed["cache"])
+    fq_variables = {**variables,
+                    "params": fake_quantize_decoder_params(
+                        variables["params"], cfg)}
+
+    tokens = rng.integers(0, C.CHORD_END, 6)
+    roots = rng.integers(0, 13, 6)
+    attrs = rng.integers(0, 14, 6)
+    key = feats["key"]
+
+    flax_cache = primed["cache"]
+    for pos in range(6):
+        t = jnp.asarray([[tokens[pos]]], jnp.int32)
+        r = jnp.asarray([[roots[pos]]], jnp.int32)
+        a = jnp.asarray([[attrs[pos]]], jnp.int32)
+        want, mutated = model.apply(
+            {**fq_variables, "cache": flax_cache}, t, r, a, key,
+            jnp.asarray(pos, jnp.int32), method=model.decode_step,
+            mutable=["cache", "metrics", "moe_state"])
+        flax_cache = mutated["cache"]
+        got, fused_caches = step_logits(fused_caches, t, r, a, key,
+                                        jnp.asarray(pos, jnp.int32))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=f"version={version} pos={pos}")
+
+
+@pytest.mark.parametrize("version", [None, "3.0"])
+def test_variant_int8_generate_matches_unfused_fake_quant(rng, version):
+    """Sampler routing for variant int8 at B=1: fused='on' +
+    quantize='int8' (variant kernels, int8 weights) and fused='off' +
+    quantize='int8' (fake-quant XLA oracle) emit identical tokens."""
+    model, cfg = _tiny(version)
+    feats = _feats(rng)
+    variables = _init(model, feats)
+    primer = jnp.zeros((1, 4), jnp.int32).at[0, 0].set(1)
+    kw = dict(semantic=feats["semantic"], key=feats["key"],
+              scene_offset=feats["scene_offset"], motion=feats["motion"],
+              emotion=feats["emotion"], primer=primer, primer_root=primer,
+              primer_attr=primer, num_primer=2,
+              gcfg=GenerateConfig(target_seq_length=12))
+    out_ref = generate_chords(model, variables, rng=jax.random.PRNGKey(7),
+                              fused="off", quantize="int8", **kw)
+    seq = np.asarray(out_ref["gen_seq"])[0, 2:]
+    assert ((seq >= 0) & (seq < C.CHORD_END)).all()
+    out_fused = generate_chords(model, variables, rng=jax.random.PRNGKey(7),
+                                fused="on", interpret=True,
+                                quantize="int8", **kw)
+    for k in ("gen_seq", "gen_seq_root", "gen_seq_attr"):
+        np.testing.assert_array_equal(np.asarray(out_fused[k]),
+                                      np.asarray(out_ref[k]),
+                                      err_msg=f"{version} {k}")
+
+
+@pytest.mark.parametrize("version", VARIANT_VERSIONS)
+def test_batch_variant_step_logits_match_unfused(rng, version):
+    """Batched (B>1) variant kernels (ops/pallas_decode_batch_variant,
+    interpret mode) vs the flax decode_step on the same token streams:
+    covers the wide block-diagonal attention with the RPR shift-matmul
+    bias, the differential 2H-column softmax + pair-combine + vectorized
+    subln, the weight-stationary variant MoE kernel (GLU + MLP experts,
+    shared and shared-less), and the RMSNorm/pre-norm wirings."""
+    from video2music_tpu.decode.fused import (
+        init_fused_batch_variant_caches, make_fused_batch_variant_step)
+
+    B = 3
+    model, cfg = _tiny(version)
+    feats = _feats(rng, B=B)
+    variables = _init(model, feats)
+
+    memory, _ = model.apply(variables, feats["semantic"],
+                            feats["scene_offset"], feats["motion"],
+                            feats["emotion"], method=model.encode,
+                            mutable=["metrics", "moe_state"])
+    _, primed = model.apply(variables, memory, method=model.prime,
+                            mutable=["cache"])
+
+    step_logits = make_fused_batch_variant_step(variables["params"], cfg,
+                                                interpret=True)
+    fused_caches = init_fused_batch_variant_caches(variables["params"], cfg,
+                                                   B, primed["cache"])
+
+    tokens = rng.integers(0, C.CHORD_END, (B, 6))
+    roots = rng.integers(0, 13, (B, 6))
+    attrs = rng.integers(0, 14, (B, 6))
+    key = feats["key"]
+
+    flax_cache = primed["cache"]
+    for pos in range(6):
+        t = jnp.asarray(tokens[:, pos:pos + 1], jnp.int32)
+        r = jnp.asarray(roots[:, pos:pos + 1], jnp.int32)
+        a = jnp.asarray(attrs[:, pos:pos + 1], jnp.int32)
+        want, mutated = model.apply(
+            {**variables, "cache": flax_cache}, t, r, a, key,
+            jnp.asarray(pos, jnp.int32), method=model.decode_step,
+            mutable=["cache", "metrics", "moe_state"])
+        flax_cache = mutated["cache"]
+        got, fused_caches = step_logits(fused_caches, t, r, a, key,
+                                        jnp.asarray(pos, jnp.int32))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=f"version={version} pos={pos}")
+
+
+@pytest.mark.parametrize("version", [None, "1.2.3", "3.0", "3.2"])
+def test_batch_variant_generate_matches_unfused(rng, version):
+    """Whole batched generate through the sampler routing: at B>1 a
+    variant config now auto-routes to the batched variant kernels;
+    fused='on' and fused='off' must emit identical token sequences."""
+    B = 2
+    model, cfg = _tiny(version)
+    feats = _feats(rng, B=B)
+    variables = _init(model, feats)
+    primer = jnp.zeros((B, 4), jnp.int32).at[:, 0].set(1)
+    kw = dict(semantic=feats["semantic"], key=feats["key"],
+              scene_offset=feats["scene_offset"], motion=feats["motion"],
+              emotion=feats["emotion"], primer=primer, primer_root=primer,
+              primer_attr=primer, num_primer=2,
+              gcfg=GenerateConfig(target_seq_length=12))
+    out_ref = generate_chords(model, variables, rng=jax.random.PRNGKey(7),
+                              fused="off", **kw)
+    out_fused = generate_chords(model, variables, rng=jax.random.PRNGKey(7),
+                                fused="on", interpret=True, **kw)
+    for k in ("gen_seq", "gen_seq_root", "gen_seq_attr"):
+        np.testing.assert_array_equal(np.asarray(out_fused[k]),
+                                      np.asarray(out_ref[k]),
+                                      err_msg=f"{version} {k}")
+
+
+def test_batch_variant_kv_quant_warns_and_runs_full_precision(rng):
+    """kv_quant='int8' stays a V2-family batched feature: a variant config
+    at B>1 warns and decodes fused with full-precision caches (same tokens
+    as kv_quant=None)."""
+    B = 2
+    model, cfg = _tiny(None)
+    feats = _feats(rng, B=B)
+    variables = _init(model, feats)
+    primer = jnp.zeros((B, 4), jnp.int32).at[:, 0].set(1)
+    kw = dict(semantic=feats["semantic"], key=feats["key"],
+              scene_offset=feats["scene_offset"], motion=feats["motion"],
+              emotion=feats["emotion"], primer=primer, primer_root=primer,
+              primer_attr=primer, num_primer=2,
+              gcfg=GenerateConfig(target_seq_length=12))
+    out_plain = generate_chords(model, variables, rng=jax.random.PRNGKey(0),
+                                fused="on", interpret=True, **kw)
+    with pytest.warns(UserWarning, match="full-precision KV"):
+        out = generate_chords(model, variables, rng=jax.random.PRNGKey(0),
+                              fused="on", interpret=True, kv_quant="int8",
+                              **kw)
+    np.testing.assert_array_equal(np.asarray(out["gen_seq"]),
+                                  np.asarray(out_plain["gen_seq"]))
+
+
 def test_variant_rejects_v2_only_backends(rng):
     """Explicit V2-only backends on a variant config are a clear error,
     not a silent wrong-kernel route."""

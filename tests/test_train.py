@@ -405,3 +405,82 @@ def test_train_put_wraps_only_mixed(rng):
                "tgt": np.ones((2,), np.float32)})
     assert out["semantic"].dtype == jnp.bfloat16
     assert out["tgt"].dtype == jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# Train->eval convergence round-trip (VERDICT r4 item 6): the bench.py
+# convergence guard only overfits one batch; this round-trip trains on a
+# LEARNABLE synthetic rule and asserts the EVAL metrics (loss + hits@k on a
+# held-out batch) move the right way — so a subtly wrong loss weighting or a
+# broken eval metric fails the suite, not just a dead gradient path.
+# ---------------------------------------------------------------------------
+
+def _markov_batch(rng, B=8, L=12):
+    """Synthetic LEARNABLE stream: tgt[t] = (x[t]*7 + 3) % 156 + 1 with x
+    teacher-forced as tgt shifted right. (root, attr) of a chord id is
+    unique (core/vocab), so the decoder's root/attr embeddings see enough
+    to learn the rule exactly; video features are noise (the rule rides the
+    token path, which is what the CE term trains)."""
+    from video2music_tpu.core.vocab import chord_to_root_attr_tables
+
+    root_tab, attr_tab = chord_to_root_attr_tables()
+    rows = emotion_chord_targets()
+    x = np.zeros((B, L), np.int64)
+    tgt = np.zeros((B, L), np.int64)
+    x[:, 0] = rng.integers(1, C.CHORD_END, B)
+    for t in range(L):
+        tgt[:, t] = (x[:, t] * 7 + 3) % 156 + 1
+        if t + 1 < L:
+            x[:, t + 1] = tgt[:, t]
+    eid = rng.integers(0, 6, (B, L))
+    base = _amt_batch(rng, B=B, L=L)
+    base.update(
+        x=jnp.asarray(x), x_root=jnp.asarray(np.asarray(root_tab)[x]),
+        x_attr=jnp.asarray(np.asarray(attr_tab)[x]), tgt=jnp.asarray(tgt),
+        tgt_emotion=jnp.asarray(rows[eid]))
+    return base
+
+
+def _train_eval_roundtrip(loss_lambda, n_steps=200):
+    """Train a tiny flagship-wiring AMT on the Markov rule for n_steps and
+    return (init_metrics, trained_metrics) evaluated on a HELD-OUT batch.
+    Eval always scores with the production loss weighting so the two arms
+    are comparable; ``loss_lambda`` only changes what is OPTIMIZED."""
+    model = _tiny_amt("2.2")
+    tcfg = TrainConfig(optimizer="adam", lr=3e-3, loss_lambda=loss_lambda)
+    tx = make_optimizer(tcfg, d_model=16)
+    batches = [_markov_batch(np.random.default_rng(s)) for s in range(4)]
+    held_out = _markov_batch(np.random.default_rng(99))
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batches[0])
+    train = jax.jit(make_amt_train_step(model, tx, tcfg))
+    ev = jax.jit(make_amt_eval_step(
+        model, TrainConfig(optimizer="adam", lr=3e-3)))
+    init = jax.tree_util.tree_map(float,
+                                  ev(state.params, state.moe_state, held_out))
+    for i in range(n_steps):
+        state, _ = train(state, batches[i % len(batches)])
+    trained = jax.tree_util.tree_map(
+        float, ev(state.params, state.moe_state, held_out))
+    return init, trained
+
+
+def test_train_eval_roundtrip_improves():
+    """Healthy loss weighting: held-out loss drops and hits@1/3/5 climb
+    well above the ~1/157 init chance level after 200 steps."""
+    init, trained = _train_eval_roundtrip(loss_lambda=C.LOSS_LAMBDA)
+    assert trained["loss"] < 0.9 * init["loss"], (init, trained)
+    assert trained["hits@1"] > init["hits@1"] + 0.15, (init, trained)
+    assert trained["hits@3"] > init["hits@3"] + 0.15, (init, trained)
+    assert trained["hits@5"] > init["hits@5"] + 0.15, (init, trained)
+    assert -1.0 <= trained["correspondence"] <= 1.0
+
+
+def test_train_eval_roundtrip_detects_flipped_loss():
+    """Sensitivity proof: with the chord-CE weight SIGN-FLIPPED (the
+    canonical lambda bug) the same round-trip must NOT satisfy the healthy
+    test's criteria — i.e. this guard demonstrably catches a loss-weighting
+    regression, which per-step loss curves alone would not."""
+    init, trained = _train_eval_roundtrip(loss_lambda=-C.LOSS_LAMBDA)
+    healthy = (trained["loss"] < 0.9 * init["loss"]
+               and trained["hits@1"] > init["hits@1"] + 0.15)
+    assert not healthy, (init, trained)

@@ -101,15 +101,16 @@ def _drive(model, variables, feats, step_logits, fused_cache, *, n_pos=6,
            oracle_variables=None):
     """Max |fused - xla| logits divergence over n_pos steps (hardware)."""
     rng = np.random.default_rng(1)
+    B = int(feats["semantic"].shape[0])
     jit_fused = jax.jit(step_logits)
     jit_xla = _xla_step(model, oracle_variables or variables)
     flax_cache = _prime(model, oracle_variables or variables, feats)
     worst = 0.0
     scale = 1e-9
     for pos in range(n_pos):
-        t = jnp.asarray(rng.integers(0, 157, (1, 1)), jnp.int32)
-        r = jnp.asarray(rng.integers(0, 13, (1, 1)), jnp.int32)
-        a = jnp.asarray(rng.integers(0, 14, (1, 1)), jnp.int32)
+        t = jnp.asarray(rng.integers(0, 157, (B, 1)), jnp.int32)
+        r = jnp.asarray(rng.integers(0, 13, (B, 1)), jnp.int32)
+        a = jnp.asarray(rng.integers(0, 14, (B, 1)), jnp.int32)
         p = jnp.asarray(pos, jnp.int32)
         want, flax_cache = jit_xla(flax_cache, t, r, a, feats["key"], p)
         got, fused_cache = jit_fused(fused_cache, t, r, a, feats["key"], p)
@@ -216,6 +217,22 @@ def run_parity():
         cache = F.init_fused_variant_caches(variables["params"], cfg, cross)
         worst, scale = _drive(model, variables, feats, step, cache)
         record(name, worst, scale)
+
+        # batched variant kernels (ops/pallas_decode_batch_variant) at B=4
+        rngv = np.random.default_rng(0)
+        Bv = 4
+        featsv = _bf16(_feats(rngv, Bv, L_SMALL))
+        zv = jnp.zeros((Bv, L_SMALL - 1), jnp.int32)
+        variablesv = _bf16(model.init(
+            {"params": jax.random.PRNGKey(0)}, zv, zv, zv,
+            featsv["semantic"], featsv["key"], featsv["scene_offset"],
+            featsv["motion"], featsv["emotion"]))
+        crossv = _prime(model, variablesv, featsv)
+        stepv = F.make_fused_batch_variant_step(variablesv["params"], cfg)
+        cachev = F.init_fused_batch_variant_caches(variablesv["params"],
+                                                   cfg, Bv, crossv)
+        worst, scale = _drive(model, variablesv, featsv, stepv, cachev)
+        record(f"{name}-batch-B4", worst, scale)
 
     return results
 

@@ -192,9 +192,8 @@ def render_clip(midi_chords, offsets, densities, velocities, arp_emo,
         eff[i] = 5 if n == 5 else 4
         chords[i, :min(n, 5)] = ch[:5]
     cap = int(64 + (n_sec * 20 + 16) * 5 * (1 + n_inst))
-    out = np.zeros(cap, np.uint8)
     sizes = np.zeros(1 + n_inst, np.int64)
-    total = lib.v2m_render_clip(
+    call_args = (
         np.ascontiguousarray(chords), np.ascontiguousarray(eff),
         np.ascontiguousarray(offsets, np.int32),
         np.ascontiguousarray(densities, np.int32),
@@ -205,7 +204,18 @@ def render_clip(midi_chords, offsets, densities, velocities, arp_emo,
         np.ascontiguousarray(vel_factor, np.float64),
         np.ascontiguousarray(pan_ctrl, np.int32),
         np.ascontiguousarray(pan_param, np.int32),
-        float(chord_dur), float(tempo), out, cap, sizes)
+        float(chord_dur), float(tempo))
+    out = np.zeros(cap, np.uint8)
+    total = lib.v2m_render_clip(*call_args, out, cap, sizes)
+    if total < 0:
+        # capacity heuristic undershot (the true worst case — multi-byte
+        # VLQ deltas on sparse sequences — can exceed it): retry once with
+        # a doubled buffer before conceding to the ~25x slower Python
+        # render path; the C side bounds-checks, so -1 is always safe.
+        cap *= 2
+        out = np.zeros(cap, np.uint8)
+        sizes[:] = 0
+        total = lib.v2m_render_clip(*call_args, out, cap, sizes)
     if total < 0:
         return None
     main = out[:sizes[0]].tobytes()

@@ -325,20 +325,24 @@ def init_fused_variant_caches(params: Dict[str, Any], cfg,
 
 
 def make_fused_variant_step(params: Dict[str, Any], cfg, *,
-                            interpret: bool = False):
+                            interpret: bool = False, quantize: str = None):
     """Fused per-layer decode step for the non-V2 wirings
     (ops/pallas_decode_variant): base-AMT RPR + ReLU FFN + sinusoidal PE,
     V1 learned-PE/Word2Vec-table/MLP-expert MoE, V3 differential attention
     + RMSNorm (+ pre-norm for 3.2). Same step_logits signature as
     :func:`make_fused_step`; the positional add and chord-table lookup ride
     in the XLA glue (one table row per step — reference
-    video_music_transformer.py:984-1001 for the embed path)."""
+    video_music_transformer.py:984-1001 for the embed path).
+
+    quantize="int8": decoder matmul weights packed int8 + per-column f32
+    scales (``pack_variant_layers``) — halves the resident decoder weights
+    for serving; embeddings/head/norms stay full precision."""
     from ..ops.pallas_decode_variant import (decode_variant_layer_step,
                                              fused_variant_eligible,
                                              pack_variant_layers)
 
     assert fused_variant_eligible(cfg)
-    packed, metas = pack_variant_layers(params, cfg)
+    packed, metas = pack_variant_layers(params, cfg, quantize=quantize)
     rope = cfg.decoder_layers[0].attn.rope
     H = cfg.num_heads
     k_top = cfg.moe.n_experts_per_token
@@ -569,6 +573,114 @@ def make_fused_batch_step(params: Dict[str, Any], cfg, *,
         if head_last:
             return x, new  # the last MoE kernel already emitted logits
         x = _layer_norm(x, dnorm)
+        logits = jnp.dot(x, wout) + bout  # (B, CHORD_SIZE)
+        return logits, new
+
+    return step_logits
+
+
+def init_fused_batch_variant_caches(params: Dict[str, Any], cfg, B: int,
+                                    cross_cache: Dict[str, Any]
+                                    ) -> Dict[str, Any]:
+    """Batched analogue of :func:`init_fused_variant_caches`: (B, S, Dk)
+    zero self caches + primed cross K/V in the lane-concatenated head
+    layout; differential layers carry 2H key heads (Dk = 2D)."""
+    D = cfg.d_model
+    S = cfg.max_seq_chord
+    dtype = params["Wout"]["kernel"].dtype
+    # (B, heads, Sm, hd) -> (B, Sm, heads*hd), head count from the array
+    to_lanes = lambda a: a.transpose(0, 2, 1, 3).reshape(
+        a.shape[0], a.shape[2], a.shape[1] * a.shape[3])
+    caches = {}
+    for i, spec in enumerate(cfg.decoder_layers):
+        kw = 2 * D if spec.attn.kind == "differential" else D
+        caches[f"k{i}"] = jnp.zeros((B, S, kw), dtype)
+        caches[f"v{i}"] = jnp.zeros((B, S, D), dtype)
+        cc = cross_cache[f"dec_{i}"]["cross_attn"]
+        caches[f"ck{i}"] = to_lanes(cc["k"])
+        caches[f"cv{i}"] = to_lanes(cc["v"])
+    return caches
+
+
+def make_fused_batch_variant_step(params: Dict[str, Any], cfg, *,
+                                  block_b: int = None,
+                                  interpret: bool = False):
+    """Batched (B>1) fused step for the non-V2 wirings
+    (ops/pallas_decode_batch_variant): base-AMT RPR + ReLU FFN, V1
+    learned-PE/MLP-expert MoE, V3 differential attention + RMSNorm
+    (+ pre-norm 3.2). Same ``step_logits`` contract as
+    :func:`make_fused_batch_step`; the embedding/positional/head glue
+    stays in XLA (no ends folding — the variant glue differs per family
+    and the B=1 measurements put the fold at ~5%; see the kernel module
+    docstring). int8 weights and int8 KV caches stay B=1 / V2-family
+    features respectively (documented in decode/sampler.py)."""
+    from ..ops.pallas_decode_batch_variant import (
+        batched_variant_layer_step, batched_variant_moe_ffn,
+        fused_batch_variant_eligible)
+    from ..ops.pallas_decode_variant import pack_variant_layers
+
+    assert fused_batch_variant_eligible(cfg)
+    packed, metas = pack_variant_layers(params, cfg, quantize=None)
+    rope = cfg.decoder_layers[0].attn.rope
+    H = cfg.num_heads
+    k_top = cfg.moe.n_experts_per_token
+    norm = cfg.norm
+    pre_norm = cfg.pre_norm
+
+    if cfg.chord_embed:
+        chord_tab = params["chord_embedding"]["embedding"]
+        emb_root = emb_attr = None
+    else:
+        chord_tab = None
+        emb_root = params["embedding_root"]["embedding"]
+        emb_attr = params["embedding_attr"]["embedding"]
+    lc_w = params["Linear_chord"]["kernel"]
+    lc_b = params["Linear_chord"]["bias"]
+    wout = params["Wout"]["kernel"]
+    bout = params["Wout"]["bias"]
+    dnorm = params["decoder_norm"]
+    if cfg.pos_encoding == "sinusoidal":
+        from ..ops.embeddings import sinusoidal_table
+        pos_tab = jnp.asarray(sinusoidal_table(cfg.max_seq_chord,
+                                               cfg.d_model))
+    elif cfg.pos_encoding == "learned":
+        pos_tab = params["pe_chord"]["embedding"]
+    else:
+        pos_tab = None
+
+    def step_logits(caches, token, token_root, token_attr, key, pos):
+        if chord_tab is None:
+            emb = emb_root[token_root] + emb_attr[token_attr]  # (B, 1, D)
+        else:
+            emb = chord_tab[token]  # (B, 1, chord_embed_dim), frozen table
+        k = jnp.reshape(key.astype(emb.dtype), (emb.shape[0], 1, 1))
+        x = jnp.concatenate(
+            [emb, jnp.broadcast_to(k, (*emb.shape[:2], 1))], axis=-1)
+        x = (jnp.dot(x, lc_w) + lc_b)[:, 0]  # (B, D)
+        if pos_tab is not None:
+            x = x + pos_tab[pos][None, :].astype(x.dtype)
+
+        new = dict(caches)
+        p = jnp.asarray(pos, jnp.int32)
+        for i, (layer, meta) in enumerate(zip(packed, metas)):
+            y, k_row, v_row = batched_variant_layer_step(
+                x, pos, layer, meta, caches[f"k{i}"], caches[f"v{i}"],
+                caches[f"ck{i}"], caches[f"cv{i}"],
+                n_heads=H, rope=rope, norm=norm, pre_norm=pre_norm,
+                block_b=block_b, interpret=interpret)
+            if meta.ffn == "moe":  # y is x2 (post-norm2 / residual)
+                x = batched_variant_moe_ffn(
+                    y, layer, meta, k_top=k_top, norm=norm,
+                    pre_norm=pre_norm, interpret=interpret)
+            else:
+                x = y
+            new[f"k{i}"] = jax.lax.dynamic_update_slice(
+                caches[f"k{i}"], k_row[:, None, :].astype(
+                    caches[f"k{i}"].dtype), (0, p, 0))
+            new[f"v{i}"] = jax.lax.dynamic_update_slice(
+                caches[f"v{i}"], v_row[:, None, :].astype(
+                    caches[f"v{i}"].dtype), (0, p, 0))
+        x = _final_norm(x, dnorm, norm)
         logits = jnp.dot(x, wout) + bout  # (B, CHORD_SIZE)
         return logits, new
 

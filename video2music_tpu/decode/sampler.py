@@ -183,8 +183,8 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
         per-layer kernels and at B>1 the batched kernels; every other
         covered wiring — base-AMT RPR, V1 learned-PE/Word2Vec/MLP-MoE,
         V3 differential/RMSNorm/pre-norm — uses the per-layer variant
-        kernels (ops/pallas_decode_variant) at B=1 and the XLA step at
-        B>1), "off",
+        kernels (ops/pallas_decode_variant) at B=1 and the batched
+        variant kernels (ops/pallas_decode_batch_variant) at B>1), "off",
         or an explicit backend (forces even off-TPU, pair with
         interpret=True on CPU): "on"/"layer" (one kernel per decoder
         layer, embed/head in XLA — the exact-parity oracle; int8 runs
@@ -196,11 +196,16 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
         kernels lose kernel-boundary DMA/compute pipelining; kept as
         measured negative results, see BACKLOG).
       interpret: run the fused kernels in Pallas interpreter mode (tests).
-      quantize: None (compute dtype) or "int8" — weight-only int8 decode:
-        the fused kernels read int8 weights (half the HBM traffic that
-        bounds the decode step); on the unfused path the same quantization
-        is applied as fake-quant params so numerics track the fused path.
-        Encoder, priming, embeddings and heads stay full precision.
+      quantize: None (compute dtype) or "int8" — weight-only int8 decode
+        across ALL fused wiring families at B=1 (V2 via
+        pallas_decode.pack_decoder_layers, base-AMT/V1/V3 via
+        pallas_decode_variant.pack_variant_layers): the fused kernels
+        read int8 weights, halving the resident decoder weights (a
+        serving-MEMORY feature — the B=1 step is kernel-latency bound,
+        so step time is unchanged; see BACKLOG). On the unfused path
+        (B>1, or off-TPU) the same quantization is applied as fake-quant
+        params so numerics track the fused path. Encoder, priming,
+        embeddings and heads stay full precision.
       kv_quant: None or "int8" — int8 KV CACHES on the batched (B>1)
         fused path: self and cross K/V slabs are stored int8 with
         per-row f32 scales folded inside the kernels
@@ -301,15 +306,27 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
                 "(ops/pallas_decode.fused_decode_eligible); this config "
                 "routes through the per-layer variant kernels — use "
                 "fused='on' or 'auto'")
-        if B > 1 or quantize is not None:
-            # batched and int8 kernels are V2-family features; variant
-            # configs fall back to the XLA step there
-            use_fused = False
+        if B > 1 and kv_quant is not None:
+            # int8 KV caches are a V2-family batched feature; the variant
+            # batched kernels read compute-dtype cache slabs. Warn and run
+            # fused with full-precision caches (int8-KV is a CAPACITY
+            # feature that measured ~5% slower anyway — see BACKLOG).
+            import warnings
+            warnings.warn(
+                "kv_quant='int8' covers the V2-family batched kernels "
+                "(ops/pallas_decode_batch); this variant config decodes "
+                "fused with full-precision KV caches", stacklevel=2)
     mosaic_ok = (fused_variant_mosaic_ok if use_variant
                  else fused_decode_mosaic_ok)
     if use_fused and B > 1 and quantize is not None:
         # int8 is a B=1 latency/memory feature; the batched kernels read
         # compute-dtype weights (once per step, amortized over B)
+        if fused != "auto":
+            import warnings
+            warnings.warn(
+                f"fused={fused!r} with quantize='int8' at B={B}: int8 "
+                "weights are a B=1 fused feature; decoding on the XLA "
+                "step path with fake-quantized params", stacklevel=2)
         use_fused = False
     if use_fused and fused == "auto" and B > FUSED_BATCH_MAX_B and n_seg <= 1:
         # UNSEGMENTED large batches are HBM-bound on full-cache reads,
@@ -334,12 +351,24 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
                 "(ops/pallas_decode.fused_decode_mosaic_ok); using the XLA "
                 "decode path", stacklevel=2)
         use_fused = False
-    if use_fused and use_variant:
+    if use_fused and use_variant and B == 1:
         from .fused import init_fused_variant_caches, make_fused_variant_step
         step_logits = make_fused_variant_step(variables["params"],
-                                              model.cfg, interpret=interpret)
+                                              model.cfg, interpret=interpret,
+                                              quantize=quantize)
         cache = init_fused_variant_caches(variables["params"], model.cfg,
                                           cache)
+    elif use_fused and use_variant:
+        # B>1 variant wirings: B-blocked wide-attention kernels + the
+        # weight-stationary variant MoE kernel
+        # (ops/pallas_decode_batch_variant) — same step contract as the
+        # V2 batched path; glue (embed/positional/head) stays in XLA.
+        from .fused import (init_fused_batch_variant_caches,
+                            make_fused_batch_variant_step)
+        step_logits = make_fused_batch_variant_step(
+            variables["params"], model.cfg, interpret=interpret)
+        cache = init_fused_batch_variant_caches(variables["params"],
+                                                model.cfg, B, cache)
     elif use_fused and B == 1:
         # B=1 backends, fastest first (measured, full 2.2 bf16, v5e):
         #   "ends"  17.7 ms/clip — per-layer kernels with the embed and
@@ -395,11 +424,12 @@ def generate_chords(model, variables, *, semantic, key, scene_offset, motion,
                                         cache, kv_quant=kv_quant)
     else:
         if quantize == "int8":
-            if not fused_decode_eligible(model.cfg):
+            if not (fused_decode_eligible(model.cfg)
+                    or fused_variant_eligible(model.cfg)):
                 raise ValueError(
                     "quantize='int8' covers the fused-decode-eligible "
-                    "configs (V2-family decoder wiring); got an ineligible "
-                    "config")
+                    "configs (V2-family or variant decoder wirings); got "
+                    "an ineligible config")
             from ..ops.pallas_decode import fake_quantize_decoder_params
             variables = {**variables,
                          "params": fake_quantize_decoder_params(

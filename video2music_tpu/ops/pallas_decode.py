@@ -436,7 +436,13 @@ def fake_quantize_decoder_params(params: Dict[str, Any], cfg):
     fp priming), embeddings, heads — untouched. The unfused XLA decode
     path with these params is the numerical oracle for the fused int8
     path: per-column scales commute with the matmul, so both compute the
-    same math up to fp reassociation."""
+    same math up to fp reassociation.
+
+    Covers both fused families: the V2 wiring and the variant wirings
+    (``pallas_decode_variant``) — base-AMT ReLU MLPs (Dense_0/Dense_1),
+    V1 MLP experts (no gate weight), shared-less MoE, differential
+    projections. Matches ``pallas_decode_variant.QUANT_KEYS``: the RPR Er
+    table and differential lambda/subln rows stay full precision."""
     def rt(w):
         dt = w.dtype
         return dequantize(*quantize_weight(w)).astype(dt)
@@ -445,7 +451,8 @@ def fake_quantize_decoder_params(params: Dict[str, Any], cfg):
     out = dict(params)
     for i, spec in enumerate(cfg.decoder_layers):
         p = dict(out[f"dec_{i}"])
-        sa = {k: dict(v) for k, v in p["self_attn"].items()}
+        sa = {k: (dict(v) if isinstance(v, dict) else v)
+              for k, v in p["self_attn"].items()}
         for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
             sa[proj]["kernel"] = rt(sa[proj]["kernel"])
         p["self_attn"] = sa
@@ -459,11 +466,17 @@ def fake_quantize_decoder_params(params: Dict[str, Any], cfg):
         if spec.ffn == "swiglu":
             for lin in ("linear1", "gate", "linear2"):
                 f[lin]["kernel"] = rt(f[lin]["kernel"])
-        else:
-            for grp in ("experts", "shared_expert"):
+        elif spec.ffn == "relu_mlp":
+            for lin in ("Dense_0", "Dense_1"):
+                f[lin]["kernel"] = rt(f[lin]["kernel"])
+        else:  # moe: glu (w1/wg/w2) or mlp (w1/w2) experts, shared optional
+            groups = ["experts"] + (
+                ["shared_expert"] if "shared_expert" in f else [])
+            for grp in groups:
                 f[grp] = dict(f[grp])
                 for wname in ("w1", "wg", "w2"):
-                    f[grp][wname] = rt(f[grp][wname])
+                    if wname in f[grp]:
+                        f[grp][wname] = rt(f[grp][wname])
         p["ffn"] = f
         out[f"dec_{i}"] = p
     return out

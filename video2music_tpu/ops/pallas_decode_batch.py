@@ -91,6 +91,13 @@ FUSED_BATCH_MAX_B = 16
 # full-size 2.2 bf16, seg-auto, ends, v5e (tools/batch_decode_bench.py
 # widetiming): B=32 wide 5.33 vs 7.40 ms/clip (56.2k vs 40.5k tok/s
 # aggregate) — the per-row-compute cut the int8-KV accounting predicted.
+# COLD-START note (ADVICE r4): a process without a warm .jax_cache pays
+# the wide kernel's cold Mosaic compile before its first batch — measured
+# ~41 s compile+first-result for the full B=32 seg-auto ends wiring
+# (round 5, tools/batch_spread_diag.py; round 4 once recorded ~15 min,
+# never reproduced — and the splice form measured no faster cold, 50.4 s,
+# so wide stays the right default cold AND warm). Prewarm serving boxes
+# with tools/precompile.py.
 WIDE_DEFAULT = True
 
 

@@ -37,8 +37,17 @@ Word2Vec chord table) stay in the XLA glue of
 Same numerical contract as ``pallas_decode``: f32 softmax/normalization,
 -1e9 causal mask, caches in the compute dtype, eval-mode top-k routing over
 raw gate logits. Parity is enforced against the unfused flax ``decode_step``
-in ``tests/test_pallas_decode_variant.py``. int8 weight-only mode stays a
-V2-family feature (``pallas_decode.pack_decoder_layers``).
+in ``tests/test_pallas_decode_variant.py``.
+
+int8 weight-only mode (``pack_variant_layers(..., quantize="int8")``) works
+like ``pallas_decode``'s: every large matmul weight is stored int8 with a
+symmetric per-output-channel f32 scale row (``<key>_s``), dequantized on the
+matmul OUTPUT (``x @ (Wq * s) == (x @ Wq) * s`` for per-column scales), so
+the resident decoder weights halve for serving memory. The RPR ``er`` table
+and the differential lambda/subln rows stay f32 (tiny, and they feed
+elementwise math, not output-channel dots). Like the V2 kernels this is a
+MEMORY feature, not a speed one — the B=1 step is kernel-compute-latency
+bound (BACKLOG "int8 weight-only decode").
 """
 
 from __future__ import annotations
@@ -153,11 +162,22 @@ def _diff_attend(q, k_all, v_all, n_heads, lam, *, pos=None):
     return attn * jnp.dot(inv, Rv.T, preferred_element_type=jnp.float32)
 
 
-def _dot(x, w, b=None):
+def _dot(x, w, b=None, s=None):
+    """(1, .) @ (., N) in f32; ``s`` is an optional (1, N) per-output-column
+    dequant scale row (int8 weights), applied between the dot and the bias
+    — dequantizing on the OUTPUT keeps the matmul reading int8 bytes."""
     out = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    if s is not None:
+        out = out * s.astype(jnp.float32)
     if b is not None:
         out = out + b.astype(jnp.float32)
     return out
+
+
+def _sc(r, key):
+    """The dequant scale row for ``key`` if the layer was packed int8."""
+    s = r.get(key + "_s")
+    return None if s is None else s[:]
 
 
 def _rpr_bias(q, er_tiled, pos, S, n_heads):
@@ -174,12 +194,14 @@ def _rpr_bias(q, er_tiled, pos, S, n_heads):
     return jnp.dot(shift, qr, preferred_element_type=jnp.float32)  # (S, H)
 
 
-def _ffn_core(x_bf, w1g, b1g, w2, b2, act):
+def _ffn_core(x_bf, w1g, b1g, w2, b2, act, s1g=None, s2=None):
     """(1, D) -> (1, D) f32 two-matmul feed-forward. act:
     "glu" — w1g is [linear1|gate] (D, 2F), h = lin * silu(gate);
     "silu" — h = silu(x @ w1g + b1g) (the V1 MLP expert);
-    "relu" — h = relu(...) (base-AMT torch FFN)."""
-    hg = _dot(x_bf, w1g, b1g)
+    "relu" — h = relu(...) (base-AMT torch FFN).
+    s1g/s2: optional int8 dequant scale rows (already read from refs —
+    the MoE path materializes them via one-hot matmuls)."""
+    hg = _dot(x_bf, w1g, b1g, s1g)
     if act == "glu":
         F = w2.shape[0]
         h, g = hg[:, :F], hg[:, F:]
@@ -188,7 +210,7 @@ def _ffn_core(x_bf, w1g, b1g, w2, b2, act):
         h = hg * jax.nn.sigmoid(hg)
     else:  # relu
         h = jnp.maximum(hg, 0.0)
-    return _dot(h.astype(x_bf.dtype), w2, b2)
+    return _dot(h.astype(x_bf.dtype), w2, b2, s2)
 
 
 # ---------------------------------------------------------------------------
@@ -199,7 +221,7 @@ def _self_block(x, pos, r, meta, H, cos_p, sin_p, kc_ref, vc_ref):
     """Self-attention sublayer -> (1, D) f32; appends this position's K/V
     into the aliased cache refs."""
     D = x.shape[-1]
-    qkv = _dot(x, r["wqkv"][:], r["bqkv"][:])
+    qkv = _dot(x, r["wqkv"][:], r["bqkv"][:], _sc(r, "wqkv"))
     if meta.attn == "differential":
         q, k, v = qkv[:, :2 * D], qkv[:, 2 * D:4 * D], qkv[:, 4 * D:]
     else:
@@ -222,12 +244,12 @@ def _self_block(x, pos, r, meta, H, cos_p, sin_p, kc_ref, vc_ref):
         if meta.attn == "rpr":
             bias = _rpr_bias(q, r["er"][:], pos, S, H)
         attn = _attend(q, k_all, v_all, H, pos=pos, logit_bias=bias)
-    return _dot(attn.astype(x.dtype), r["wo"][:], r["bo"][:])
+    return _dot(attn.astype(x.dtype), r["wo"][:], r["bo"][:], _sc(r, "wo"))
 
 
 def _cross_block(x, r, meta, H, cos_p, sin_p, kx, vx):
     """Cross-attention sublayer over the primed memory K/V -> (1, D) f32."""
-    q = _dot(x, r["cwq"][:], r["cbq"][:])
+    q = _dot(x, r["cwq"][:], r["cbq"][:], _sc(r, "cwq"))
     if cos_p is not None:
         q = q * cos_p + _rot_pairs(q) * sin_p
     if meta.cross == "differential":
@@ -235,7 +257,8 @@ def _cross_block(x, r, meta, H, cos_p, sin_p, kx, vx):
         attn = attn * r["csubw"][:].astype(jnp.float32)
     else:
         attn = _attend(q, kx[:], vx[:], H, pos=None)
-    return _dot(attn.astype(x.dtype), r["cwo"][:], r["cbo"][:])
+    return _dot(attn.astype(x.dtype), r["cwo"][:], r["cbo"][:],
+                _sc(r, "cwo"))
 
 
 def _moe_block(x2b, r, meta, k_top, scratch):
@@ -271,13 +294,15 @@ def _moe_block(x2b, r, meta, k_top, scratch):
 
     if meta.shared:
         h = _ffn_core(x2b, r["sw1g"][:], r["sb1g"][:], r["sw2"][:],
-                      r["sb2"][:], act) / float(k_top)
+                      r["sb2"][:], act, _sc(r, "sw1g"),
+                      _sc(r, "sw2")) / float(k_top)
     else:
         h = jnp.zeros((1, x2b.shape[-1]), jnp.float32)
 
     for d in dmas:
         d.wait()
     E = r["eb1g"].shape[0]
+    quant = "ew1g_s" in r
     for j in range(k_top):
         onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, E), 1)
                   == sel_idx[j]).astype(jnp.float32)
@@ -285,7 +310,14 @@ def _moe_block(x2b, r, meta, k_top, scratch):
                         preferred_element_type=jnp.float32)
         b2_j = jnp.dot(onehot, r["eb2"][:].astype(jnp.float32),
                        preferred_element_type=jnp.float32)
-        yj = _ffn_core(x2b, w1g_scr[j][:], b1g_j, w2_scr[j][:], b2_j, act)
+        s1g_j = s2_j = None
+        if quant:  # this expert's dequant scale rows, same one-hot trick
+            s1g_j = jnp.dot(onehot, r["ew1g_s"][:].astype(jnp.float32),
+                            preferred_element_type=jnp.float32)
+            s2_j = jnp.dot(onehot, r["ew2_s"][:].astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
+        yj = _ffn_core(x2b, w1g_scr[j][:], b1g_j, w2_scr[j][:], b2_j, act,
+                       s1g_j, s2_j)
         h = h + (exps[j] / denom) * yj
     return h
 
@@ -313,7 +345,7 @@ def _variant_kernel(*refs, names, meta, n_heads, k_top, rope, norm,
             return _moe_block(x_row, r, meta, k_top, scratch)
         act = "glu" if meta.ffn == "swiglu" else "relu"
         return _ffn_core(x_row, r["fw1g"][:], r["fb1g"][:], r["fw2"][:],
-                         r["fb2"][:], act)
+                         r["fb2"][:], act, _sc(r, "fw1g"), _sc(r, "fw2"))
 
     if not pre_norm:
         h = _self_block(x0, pos, r, meta, n_heads, cos_p, sin_p,
@@ -400,6 +432,12 @@ def decode_variant_layer_step(x, pos, layer: Dict[str, Any],
             names.append(key)
             args.append(layer[key])
 
+    # int8 dequant scale rows ride along as extra VMEM operands (tiny)
+    for key in QUANT_KEYS:
+        if key + "_s" in layer:
+            names.append(key + "_s")
+            args.append(layer[key + "_s"])
+
     names += ["kx", "vx", "kc_in", "vc_in"]
     args += [k_cross, v_cross, k_cache, v_cache]
 
@@ -431,6 +469,12 @@ def decode_variant_layer_step(x, pos, layer: Dict[str, Any],
 # packing
 # ---------------------------------------------------------------------------
 
+# weights eligible for int8 quantization (every large matmul; the RPR er
+# table and differential lambda/subln rows stay f32)
+QUANT_KEYS = ("wqkv", "wo", "cwq", "cwo", "fw1g", "fw2",
+              "sw1g", "sw2", "ew1g", "ew2")
+
+
 def _zeros_row(n):
     return jnp.zeros((1, n), jnp.float32)
 
@@ -456,11 +500,18 @@ def _pack_subln(attn_params, depth: int, n_heads: int, prefix=""):
             prefix + "subw": subw}
 
 
-def pack_variant_layers(params: Dict[str, Any], cfg
+def pack_variant_layers(params: Dict[str, Any], cfg, quantize: str = None
                         ) -> Tuple[list, List[VariantLayerMeta]]:
     """Per-layer packed weights + static metas from a VideoMusicTransformer
     param tree for any fused_variant_eligible config. Pure jnp concats —
-    hoisted out of the decode scan as loop invariants."""
+    hoisted out of the decode scan as loop invariants.
+
+    quantize="int8" stores every ``QUANT_KEYS`` weight as int8 plus a
+    per-output-channel f32 scale row under ``<key>_s`` (same scheme and
+    fake-quant oracle as ``pallas_decode.pack_decoder_layers``)."""
+    if quantize not in (None, "int8"):
+        raise ValueError(f"unknown quantize mode {quantize!r}")
+    from .pallas_decode import _quantize_packed
     D = cfg.d_model
     layers, metas = [], []
     for i, spec in enumerate(cfg.decoder_layers):
@@ -549,6 +600,9 @@ def pack_variant_layers(params: Dict[str, Any], cfg
                     packed["sb1g"] = _row(s["b1"][0])
                 packed["sw2"] = s["w2"][0]
                 packed["sb2"] = _row(s["b2"][0])
+        if quantize == "int8":
+            _quantize_packed(packed,
+                             [k for k in QUANT_KEYS if k in packed])
         layers.append(packed)
         metas.append(meta)
     return layers, metas

@@ -219,9 +219,24 @@ class DynamicBatcher:
         # The worker may be mid-decode (cold compiles alone exceed any
         # fixed timeout) — join until it actually exits, so its final
         # batch cannot land in _render_q AFTER the render stop sentinel
-        # below (which would strand that batch's futures forever).
+        # below (which would strand that batch's futures forever). The
+        # join stays unbounded, but it must not be SILENT or deadlockable:
+        # log progress each 5 s, and if the renderer has DIED, drain its
+        # queue (failing those futures) so a worker blocked on a full
+        # _render_q put can never wedge this join — a live renderer keeps
+        # consuming the queue, so the put unblocks on its own.
+        waited = 0.0
         while self._worker.is_alive():
             self._worker.join(timeout=5)
+            if self._worker.is_alive():
+                waited += 5
+                if not self._renderer.is_alive():
+                    self._fail_queued_renders()
+                import logging
+                logging.getLogger(__name__).info(
+                    "DynamicBatcher.stop(): still waiting for worker "
+                    "after %.0f s (mid-decode? renderer alive=%s)",
+                    waited, self._renderer.is_alive())
         try:  # flush pending renders, then exit
             self._render_q.put(None, timeout=30)
         except queue.Full:
@@ -229,6 +244,11 @@ class DynamicBatcher:
         self._renderer.join(timeout=30)
         # A dead/wedged renderer leaves queued batches unconsumed — fail
         # their futures instead of hanging callers forever.
+        self._fail_queued_renders()
+
+    def _fail_queued_renders(self) -> None:
+        """Drain _render_q, failing every queued batch's pending futures
+        (used at stop() when the renderer is dead or already stopped)."""
         while True:
             try:
                 task = self._render_q.get_nowait()
