@@ -115,44 +115,55 @@ def parity(model, variables, B=4, n_pos=6, rel_tol=1e-4):
     the wide slab matmuls reduce in a different order than XLA's
     einsums, and an LSB-level f32 difference legitimately flips a
     categorical near-tie (measured 2/240 tokens on base AMT with
-    logits rel-diff at the f32 noise floor)."""
+    logits rel-diff at the f32 noise floor).
+
+    Runs under ``jax.default_matmul_precision("highest")``: at the TPU's
+    DEFAULT precision an f32 matmul runs single-pass bf16 on the MXU, so
+    both sides carry ~5e-3 rel bf16 noise that differs with reduction
+    order and swamps the 1e-4 bar (measured: base 5.8e-3 / V3 1.4e-2 at
+    DEFAULT; 6.4e-7 / 1.3e-6 at highest). HIGHEST makes f32 mean f32 in
+    the flax einsums AND inside the Pallas kernels (precision threads
+    through Mosaic dots), so a real lowering bug cannot hide in MXU
+    rounding."""
     from video2music_tpu.decode.fused import (
         init_fused_batch_variant_caches, make_fused_batch_variant_step)
 
-    feats = bench._feats(B)
-    memory, _ = model.apply(variables, feats["semantic"],
-                            feats["scene_offset"], feats["motion"],
-                            feats["emotion"], method=model.encode,
-                            mutable=["metrics", "moe_state"])
-    _, primed = model.apply(variables, memory, method=model.prime,
-                            mutable=["cache"])
-    step = jax.jit(make_fused_batch_variant_step(variables["params"],
-                                                 model.cfg))
-    cache = init_fused_batch_variant_caches(variables["params"], model.cfg,
-                                            B, primed["cache"])
+    with jax.default_matmul_precision("highest"):
+        feats = bench._feats(B)
+        memory, _ = model.apply(variables, feats["semantic"],
+                                feats["scene_offset"], feats["motion"],
+                                feats["emotion"], method=model.encode,
+                                mutable=["metrics", "moe_state"])
+        _, primed = model.apply(variables, memory, method=model.prime,
+                                mutable=["cache"])
+        step = jax.jit(make_fused_batch_variant_step(variables["params"],
+                                                     model.cfg))
+        cache = init_fused_batch_variant_caches(variables["params"],
+                                                model.cfg, B,
+                                                primed["cache"])
 
-    def xla_step(fcache, t, r, a, k, pos):
-        logits, mutated = model.apply(
-            {**variables, "cache": fcache}, t, r, a, k, pos,
-            method=model.decode_step,
-            mutable=["cache", "metrics", "moe_state"])
-        return logits, mutated["cache"]
+        def xla_step(fcache, t, r, a, k, pos):
+            logits, mutated = model.apply(
+                {**variables, "cache": fcache}, t, r, a, k, pos,
+                method=model.decode_step,
+                mutable=["cache", "metrics", "moe_state"])
+            return logits, mutated["cache"]
 
-    jit_xla = jax.jit(xla_step)
-    rng = np.random.default_rng(1)
-    flax_cache = primed["cache"]
-    worst, scale = 0.0, 1e-9
-    for pos in range(n_pos):
-        t = jnp.asarray(rng.integers(0, 157, (B, 1)), jnp.int32)
-        r = jnp.asarray(rng.integers(0, 13, (B, 1)), jnp.int32)
-        a = jnp.asarray(rng.integers(0, 14, (B, 1)), jnp.int32)
-        p = jnp.asarray(pos, jnp.int32)
-        want, flax_cache = jit_xla(flax_cache, t, r, a, feats["key"], p)
-        got, cache = step(cache, t, r, a, feats["key"], p)
-        w = np.asarray(want, np.float32)
-        g = np.asarray(got, np.float32)
-        worst = max(worst, float(np.max(np.abs(g - w))))
-        scale = max(scale, float(np.max(np.abs(w))))
+        jit_xla = jax.jit(xla_step)
+        rng = np.random.default_rng(1)
+        flax_cache = primed["cache"]
+        worst, scale = 0.0, 1e-9
+        for pos in range(n_pos):
+            t = jnp.asarray(rng.integers(0, 157, (B, 1)), jnp.int32)
+            r = jnp.asarray(rng.integers(0, 13, (B, 1)), jnp.int32)
+            a = jnp.asarray(rng.integers(0, 14, (B, 1)), jnp.int32)
+            p = jnp.asarray(pos, jnp.int32)
+            want, flax_cache = jit_xla(flax_cache, t, r, a, feats["key"], p)
+            got, cache = step(cache, t, r, a, feats["key"], p)
+            w = np.asarray(want, np.float32)
+            g = np.asarray(got, np.float32)
+            worst = max(worst, float(np.max(np.abs(g - w))))
+            scale = max(scale, float(np.max(np.abs(w))))
     rel = worst / scale
     ok = rel <= rel_tol
     print(json.dumps({"parity_f32_logits": bool(ok), "B": B,
