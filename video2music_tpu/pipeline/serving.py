@@ -34,8 +34,12 @@ coalescing layer:
     host work over already-fetched arrays) to the renderer and
     immediately gathers + dispatches the next batch, so the serving
     floor is max(render, decode) per batch instead of their sum
-    (measured: 14.1 -> 17.9 sustained clips/s at width-16 on one v5e +
-    1-core host). The bounded hand-off queue is the backpressure: the
+    (measured round 5, with the native whole-clip MIDI render + wide
+    batched kernels: 37.3 sustained clips/s at width-16 on one v5e +
+    1-core host, p50 0.88 s / p95 1.08 s over a 60 s window, 32 clients,
+    zero shed — up from 17.9 when the render was Python and the batched
+    attention used the splice form; tools/serving_bench.py). The
+    bounded hand-off queue is the backpressure: the
     decode never runs more than ~2 batches ahead of the renderer;
   * :meth:`DynamicBatcher.submit_control` runs mutations (checkpoint
     hot-reload via ``Video2music.load_checkpoints``) on the worker thread
